@@ -1,0 +1,192 @@
+"""TPU-native Bloom filter: a pure-functional bit array in HBM.
+
+Replicates the semantics of the reference BloomFilter
+(/root/reference/BloomFilter.hpp) with a design the XLA compiler can fuse:
+
+  * the filter state is a ``uint32`` word array (bit p -> word p>>5,
+    bit p&31). The serialized little-endian bytes of this layout are exactly
+    the reference's byte array (byte p>>3, LSB-first mask 1<<(p&7),
+    BloomFilter.hpp:30), so store/load is byte-identical.
+  * ``insert`` is a batched scatter: positions are deduplicated with a sort
+    (so a plain scatter-add of single-bit masks equals a scatter-OR), then
+    OR-ed into the existing words. This replaces the reference's per-bit
+    ``__sync_or_and_fetch`` loop (BloomFilter.hpp:185-194) — commutative
+    bit-OR means any evaluation order gives the identical filter.
+  * ``contains`` is a batched gather + AND-reduce (BloomFilter.hpp:252-262).
+
+All functions are pure; ``insert`` returns a new filter pytree (XLA reuses
+the buffer via donation under jit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import u64
+from ..ops.u64 import U64
+
+_WORD_BITS = 32
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["words"],
+         meta_fields=["size", "hash_num", "kmer_size", "dfpr", "n_entry",
+                      "t_entry"])
+@dataclasses.dataclass
+class BloomFilter:
+    """Bit-array Bloom filter state (a pytree; metadata is static)."""
+
+    words: jax.Array      # uint32[ceil(size/32)]
+    size: int             # filter size in bits
+    hash_num: int
+    kmer_size: int
+    dfpr: float = 0.0
+    n_entry: int = 0
+    t_entry: int = 0
+
+    @property
+    def size_in_bytes(self) -> int:
+        return self.size // 8
+
+
+def create(size: int, hash_num: int, kmer_size: int, *, dfpr: float = 0.0,
+           n_entry: int = 0, t_entry: int = 0) -> BloomFilter:
+    """De-novo filter. ``size`` (bits) must be a multiple of 8, mirroring
+    initSize (BloomFilter.hpp:389-399)."""
+    if size % 8 != 0:
+        raise ValueError(f"filter size {size} is not a multiple of 8")
+    nwords = (size + _WORD_BITS - 1) // _WORD_BITS
+    return BloomFilter(words=jnp.zeros(nwords, jnp.uint32), size=size,
+                       hash_num=hash_num, kmer_size=kmer_size, dfpr=dfpr,
+                       n_entry=n_entry, t_entry=t_entry)
+
+
+def calc_optimal_size(entries: int, fpr: float, hash_num: int) -> int:
+    """Sizing math of BloomFilter.hpp:406-413 (rounds up to a multiple
+    of 64)."""
+    non64 = int(-float(entries) * float(hash_num) /
+                math.log(1.0 - math.pow(fpr, 1.0 / float(hash_num))))
+    return non64 + (64 - non64 % 64)
+
+
+def calc_opti_hash_num(fpr: float) -> int:
+    """BloomFilter.hpp:419."""
+    return int(-math.log(fpr) / math.log(2))
+
+
+def create_from_fpr(expected_entries: int, fpr: float, hash_num: int,
+                    kmer_size: int) -> BloomFilter:
+    """FPR-sized constructor (BloomFilter.hpp:83-99)."""
+    if hash_num == 0:
+        hash_num = calc_opti_hash_num(fpr)
+    size = calc_optimal_size(expected_entries, fpr, hash_num)
+    return create(size, hash_num, kmer_size, dfpr=fpr)
+
+
+# ---------------------------------------------------------------------------
+# position arithmetic
+# ---------------------------------------------------------------------------
+
+def bit_positions(hashes: U64, size: int):
+    """hash % size -> (word_index int32, bit_mask uint32, sort_key).
+
+    Supports sizes up to 2**37 bits (word index must fit 32 bits)."""
+    if size > (1 << 37):
+        raise ValueError("per-device filter larger than 2**37 bits")
+    r = u64.mod_const(hashes, size)
+    word = ((r.hi << 27) | (r.lo >> 5)).astype(jnp.int32)
+    mask = jnp.uint32(1) << (r.lo & 31)
+    return word, mask, r
+
+
+def _dedupe_mask_sorted(hi: jax.Array, lo: jax.Array):
+    """Sort positions lexicographically; return (hi, lo, keep) where keep
+    marks the first occurrence of each distinct position."""
+    hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+    first = jnp.ones(hi_s.shape, bool)
+    neq = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+    keep = first.at[1:].set(neq)
+    return hi_s, lo_s, keep
+
+
+# ---------------------------------------------------------------------------
+# core ops
+# ---------------------------------------------------------------------------
+
+def insert(bf: BloomFilter, hashes: U64, valid=None) -> BloomFilter:
+    """Insert a batch of frames. ``hashes`` is U64[..., h]; ``valid`` is an
+    optional bool mask broadcastable to hashes.shape[:-1] (frames with
+    valid=False contribute nothing, mirroring the iterator's N-skip)."""
+    flat = U64(hashes.hi.reshape(-1), hashes.lo.reshape(-1))
+    r = u64.mod_const(flat, bf.size)
+    if valid is not None:
+        v = jnp.broadcast_to(jnp.asarray(valid)[..., None],
+                             hashes.hi.shape).reshape(-1)
+        # route invalid entries to an out-of-range position -> dropped scatter
+        oob_hi = jnp.uint32((bf.size >> 32) + 1)
+        r = U64(jnp.where(v, r.hi, oob_hi), r.lo)
+    hi_s, lo_s, keep = _dedupe_mask_sorted(r.hi, r.lo)
+    word = ((hi_s << 27) | (lo_s >> 5)).astype(jnp.int32)
+    mask = jnp.where(keep, jnp.uint32(1) << (lo_s & 31), jnp.uint32(0))
+    nwords = bf.words.shape[0]
+    word = jnp.where(word < nwords, word, nwords)  # oob => dropped
+    delta = jnp.zeros(nwords, jnp.uint32).at[word].add(
+        mask, mode="drop", indices_are_sorted=True)
+    return dataclasses.replace(bf, words=bf.words | delta)
+
+
+def contains(bf: BloomFilter, hashes: U64) -> jax.Array:
+    """Membership test for a batch of frames: hashes U64[..., h] ->
+    bool[...]. Equivalent to BloomFilter.hpp:252-262 (all h bits set)."""
+    word, mask, _ = bit_positions(hashes, bf.size)
+    got = bf.words[word]
+    hit = (got & mask) == mask
+    return jnp.all(hit, axis=-1)
+
+
+def insert_and_check(bf: BloomFilter, hashes: U64, valid=None):
+    """Batched insertAndCheck (BloomFilter.hpp:200-213): returns
+    (new_filter, found) where ``found`` reports membership *before this
+    batch*. Note: the reference's sequential semantics would report True for
+    a later duplicate of a k-mer inserted earlier in the same batch; callers
+    needing that ordering should insert in smaller batches."""
+    found = contains(bf, hashes)
+    return insert(bf, hashes, valid), found
+
+
+def get_pop(bf: BloomFilter) -> jax.Array:
+    """Number of set bits (BloomFilter.hpp:316-323)."""
+    return jnp.sum(jax.lax.population_count(bf.words).astype(jnp.uint32))
+
+
+def get_fpr(bf: BloomFilter) -> jax.Array:
+    """Popcount-based measured FPR (BloomFilter.hpp:346-350)."""
+    pop = get_pop(bf).astype(jnp.float32)
+    return jnp.power(pop / jnp.float32(bf.size), jnp.float32(bf.hash_num))
+
+
+def calc_fpr_num_inserted(bf: BloomFilter, num: int) -> float:
+    """BloomFilter.hpp:425-429."""
+    return math.pow(1.0 - math.pow(1.0 - 1.0 / float(bf.size),
+                                   float(num) * bf.hash_num),
+                    float(bf.hash_num))
+
+
+def get_fpr_num_ele(bf: BloomFilter) -> float:
+    assert bf.n_entry > 0
+    return calc_fpr_num_inserted(bf, bf.n_entry)
+
+
+def get_redundancy_fpr(bf: BloomFilter) -> float:
+    """BloomFilter.hpp:333-341."""
+    assert bf.n_entry > 0
+    total = math.log(calc_fpr_num_inserted(bf, 1))
+    for i in range(2, bf.n_entry):
+        total = math.log(math.exp(total) + calc_fpr_num_inserted(bf, i))
+    return math.exp(total) / bf.n_entry

@@ -1,0 +1,215 @@
+"""TPU-native counting Bloom filter with conservative-update semantics.
+
+Replicates /root/reference/CountingBloomFilter.hpp:
+
+  * membership = (min of the h counters) >= count_threshold
+    (CountingBloomFilter.hpp:190-196)
+  * ``insert`` = conservative update: increment every counter currently
+    equal to the minimum, freezing (no wraparound) once a counter reaches
+    the dtype max (incrementMin, CountingBloomFilter.hpp:135-162)
+  * ``insert_all`` = increment all h counters with per-counter overflow
+    freeze (incrementAll, CountingBloomFilter.hpp:165-183)
+
+Conservative update is order-dependent across k-mers, so the exact-parity
+path (`insert`) runs as a ``lax.scan`` over frames — each step is a tiny
+gather/compare/scatter that XLA keeps on-chip. The vectorized
+``insert_all`` path (saturating scatter-add) is order-independent and runs
+at full scatter throughput.
+
+Counter widths 1/2/4 bytes are stored natively; width 8 (the reference's
+``CountingBloomFilter<uint64_t>``) is stored as a uint32 plane — counts
+saturate at 2**32-1 instead of 2**64-1, unreachable in any real workload —
+and serialized as little-endian u64 with zero high words, byte-identical to
+the reference for all reachable counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import u64
+from ..ops.u64 import U64
+
+_DTYPES = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32, 8: jnp.uint32}
+_NP_LE = {1: "<u1", 2: "<u2", 4: "<u4"}
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["counters"],
+         meta_fields=["size", "hash_num", "kmer_size", "count_threshold",
+                      "counter_width", "bits_per_counter"])
+@dataclasses.dataclass
+class CountingBloomFilter:
+    counters: jax.Array        # [size], dtype per counter_width
+    size: int                  # number of counters
+    hash_num: int
+    kmer_size: int
+    count_threshold: int
+    counter_width: int         # sizeof(T) in bytes: 1, 2, 4 or 8
+    bits_per_counter: int = 8  # header field; the reference hardcodes 8
+
+    @property
+    def size_in_bytes(self) -> int:
+        return self.size * self.counter_width
+
+    @property
+    def counter_max(self) -> int:
+        # width-8 saturates at 2**32-1 in this implementation (see module doc)
+        return (1 << (8 * min(self.counter_width, 4))) - 1
+
+    def counter_bytes(self) -> bytes:
+        arr = np.asarray(self.counters)
+        if self.counter_width == 8:
+            out = np.zeros((self.size, 2), dtype="<u4")
+            out[:, 0] = arr
+            return out.tobytes()
+        return arr.astype(_NP_LE[self.counter_width]).tobytes()
+
+
+def create(size_in_bytes: int, hash_num: int, kmer_size: int,
+           count_threshold: int, counter_width: int = 1) -> CountingBloomFilter:
+    """Constructor parity with CountingBloomFilter.hpp:31-50: sizeInBytes is
+    rounded up to a multiple of 8; size = sizeInBytes / sizeof(T)."""
+    if counter_width not in _DTYPES:
+        raise ValueError(f"unsupported counter width {counter_width}")
+    rem = size_in_bytes % 8
+    if rem:
+        size_in_bytes += 8 - rem
+    size = size_in_bytes // counter_width
+    return CountingBloomFilter(
+        counters=jnp.zeros(size, _DTYPES[counter_width]), size=size,
+        hash_num=hash_num, kmer_size=kmer_size,
+        count_threshold=count_threshold, counter_width=counter_width)
+
+
+def from_bytes(buf: bytes, *, size: int, hash_num: int, kmer_size: int,
+               count_threshold: int, counter_width: int,
+               bits_per_counter: int = 8) -> CountingBloomFilter:
+    if counter_width == 8:
+        raw = np.frombuffer(buf, dtype="<u8", count=size)
+        if (raw >> np.uint64(32)).any():
+            raise NotImplementedError(
+                "u64 counter value above 2**32-1 in file")
+        arr = raw.astype(np.uint32)
+    else:
+        arr = np.frombuffer(buf, dtype=_NP_LE[counter_width], count=size).copy()
+    return CountingBloomFilter(
+        counters=jnp.asarray(arr), size=size, hash_num=hash_num,
+        kmer_size=kmer_size, count_threshold=count_threshold,
+        counter_width=counter_width, bits_per_counter=bits_per_counter)
+
+
+# ---------------------------------------------------------------------------
+# positions
+# ---------------------------------------------------------------------------
+
+def _positions(cbf: CountingBloomFilter, hashes: U64) -> jax.Array:
+    if cbf.size > (1 << 32):
+        raise ValueError("counting filter larger than 2**32 counters")
+    return u64.mod_to_index(hashes, cbf.size).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def min_count(cbf: CountingBloomFilter, hashes: U64) -> jax.Array:
+    """Minimum of the h counters per frame (CountingBloomFilter.hpp:54-64).
+    hashes U64[..., h] -> counts[...]."""
+    pos = _positions(cbf, hashes)
+    return jnp.min(cbf.counters[pos], axis=-1)
+
+
+def contains(cbf: CountingBloomFilter, hashes: U64) -> jax.Array:
+    return min_count(cbf, hashes) >= jnp.asarray(cbf.count_threshold,
+                                                 cbf.counters.dtype)
+
+
+# ---------------------------------------------------------------------------
+# inserts
+# ---------------------------------------------------------------------------
+
+def insert(cbf: CountingBloomFilter, hashes: U64, valid=None) -> CountingBloomFilter:
+    """Conservative update over a batch of frames, *sequentially equivalent*
+    to calling the reference's incrementMin per frame in stream order.
+
+    hashes U64[..., h]; frames are processed in flattened row-major order.
+    """
+    h = hashes.hi.shape[-1]
+    pos = _positions(cbf, hashes).reshape(-1, h)
+    n = pos.shape[0]
+    if valid is None:
+        v = jnp.ones((n,), bool)
+    else:
+        v = jnp.broadcast_to(jnp.asarray(valid), hashes.hi.shape[:-1]).reshape(-1)
+
+    dtype = cbf.counters.dtype
+
+    def step(counters, inp):
+        p, ok = inp
+        cur = counters[p]                          # [h]
+        mn = jnp.min(cur)
+        new = (mn + jnp.asarray(1, dtype)).astype(dtype)
+        frozen = new < mn                          # wraparound => freeze
+        do = ok & ~frozen
+        upd = jnp.where(do & (cur == mn), new, cur)
+        return counters.at[p].set(upd), None
+
+    counters, _ = jax.lax.scan(step, cbf.counters, (pos, v))
+    return dataclasses.replace(cbf, counters=counters)
+
+
+def insert_and_check(cbf: CountingBloomFilter, hashes: U64, valid=None):
+    """Batched insertAndCheck (CountingBloomFilter.hpp:206-214): membership
+    is evaluated against the pre-batch state."""
+    found = contains(cbf, hashes)
+    return insert(cbf, hashes, valid), found
+
+
+def insert_all(cbf: CountingBloomFilter, hashes: U64, valid=None) -> CountingBloomFilter:
+    """Vectorized incrementAll (CountingBloomFilter.hpp:165-183): every
+    counter addressed by every frame is incremented once per occurrence,
+    saturating at the counter max. Order-independent => single scatter-add.
+    """
+    pos = _positions(cbf, hashes).reshape(-1)
+    if valid is not None:
+        v = jnp.broadcast_to(jnp.asarray(valid)[..., None],
+                             hashes.hi.shape).reshape(-1)
+        ones = v.astype(jnp.uint32)
+    else:
+        ones = jnp.ones(pos.shape, jnp.uint32)
+    occ = jnp.zeros((cbf.size,), jnp.uint32).at[pos].add(ones, mode="drop")
+    wide = cbf.counters.astype(jnp.uint32) + occ  # may exceed counter max
+    # counts can't overflow uint32 here unless batch >= 2**32 entries
+    clamped = jnp.minimum(wide, jnp.uint32(cbf.counter_max))
+    return dataclasses.replace(cbf, counters=clamped.astype(cbf.counters.dtype))
+
+
+# ---------------------------------------------------------------------------
+# stats
+# ---------------------------------------------------------------------------
+
+def pop_count(cbf: CountingBloomFilter) -> jax.Array:
+    """Non-zero counters (CountingBloomFilter.hpp:217-228)."""
+    return jnp.sum((cbf.counters != 0).astype(jnp.uint32))
+
+
+def filtered_pop_count(cbf: CountingBloomFilter) -> jax.Array:
+    """Counters >= threshold (CountingBloomFilter.hpp:231-242)."""
+    thr = jnp.asarray(cbf.count_threshold, cbf.counters.dtype)
+    return jnp.sum((cbf.counters >= thr).astype(jnp.uint32))
+
+
+def fpr(cbf: CountingBloomFilter) -> jax.Array:
+    return jnp.power(pop_count(cbf).astype(jnp.float32) / cbf.size,
+                     jnp.float32(cbf.hash_num))
+
+
+def filtered_fpr(cbf: CountingBloomFilter) -> jax.Array:
+    return jnp.power(filtered_pop_count(cbf).astype(jnp.float32) / cbf.size,
+                     jnp.float32(cbf.hash_num))

@@ -1,0 +1,234 @@
+"""BloomFilter / CountingBloomFilter semantics + byte-exact .bf files."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from btl_bloomfilter_tpu.io import bf_format
+from btl_bloomfilter_tpu.models import bloom, counting, kmer_bloom
+from btl_bloomfilter_tpu.ops import nthash, nthash_tables, u64
+
+from util import golden_long_seq, np_bloom_insert
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+README_SEQ = "TAGAATCACCCAAAGA"
+UNIT_SEQ = "ACGTAC"
+CBF_SEQ = "ACGTACACTGGACTGAGTCT"
+
+
+def golden_bytes(name):
+    with open(os.path.join(GOLDEN_DIR, name), "rb") as f:
+        return f.read()
+
+
+def build_bloom(seq, size, h, k, **kw):
+    bf = bloom.create(size, h, k, **kw)
+    return kmer_bloom.insert_string(bf, seq)
+
+
+# ---------------------------------------------------------------------------
+# BloomFilter
+# ---------------------------------------------------------------------------
+
+def test_bf_readme_bytes_exact(tmp_path):
+    bf = build_bloom(README_SEQ, 1000, 4, 5)
+    path = tmp_path / "out.bf"
+    bf_format.store_bloom(bf, str(path))
+    assert path.read_bytes() == golden_bytes("bf_readme.bf")
+
+
+def test_bf_entries_bytes_exact(tmp_path):
+    bf = build_bloom(UNIT_SEQ, 512, 3, 4, n_entry=7, t_entry=11)
+    path = tmp_path / "out.bf"
+    bf_format.store_bloom(bf, str(path))
+    assert path.read_bytes() == golden_bytes("bf_entries.bf")
+
+
+def test_bf_load_golden_and_query(tmp_path):
+    p = tmp_path / "g.bf"
+    p.write_bytes(golden_bytes("bf_readme.bf"))
+    bf = bf_format.load_bloom(str(p))
+    assert (bf.size, bf.hash_num, bf.kmer_size) == (1000, 4, 5)
+    hits, valid = kmer_bloom.contains_seq(
+        bf, nthash_tables.encode_seq(README_SEQ))
+    assert np.asarray(valid).all()
+    assert np.asarray(hits).all()
+    # negative control: a sequence with no inserted k-mers
+    hits2, _ = kmer_bloom.contains_seq(
+        bf, nthash_tables.encode_seq("GGGGGGGGGGGG"))
+    assert not np.asarray(hits2).all()
+
+
+def test_bf_store_load_roundtrip(tmp_path):
+    bf = build_bloom(golden_long_seq(200), 4096, 5, 21, dfpr=0.25,
+                     n_entry=3, t_entry=9)
+    p = tmp_path / "rt.bf"
+    bf_format.store_bloom(bf, str(p))
+    bf2 = bf_format.load_bloom(str(p))
+    np.testing.assert_array_equal(np.asarray(bf.words), np.asarray(bf2.words))
+    assert bf2.dfpr == 0.25 and bf2.n_entry == 3 and bf2.t_entry == 9
+
+
+def test_bf_insert_matches_numpy_model():
+    rng = np.random.default_rng(3)
+    hashes = rng.integers(0, 1 << 64, size=(200, 3), dtype=np.uint64)
+    bf = bloom.create(1000, 3, 5)
+    bf = bloom.insert(bf, u64.from_numpy(hashes))
+    expect = np_bloom_insert(1000, hashes)
+    got = bf_format.words_to_bytes(np.asarray(bf.words), 125)
+    assert got == expect.tobytes()
+    # contains: every inserted frame hits
+    assert np.asarray(bloom.contains(bf, u64.from_numpy(hashes))).all()
+
+
+def test_bf_insert_valid_mask():
+    hashes = np.arange(1, 41, dtype=np.uint64).reshape(10, 4) * np.uint64(0x9E3779B1)
+    valid = np.zeros(10, bool)
+    valid[::2] = True
+    bf = bloom.create(64 * 8, 4, 5)
+    bf = bloom.insert(bf, u64.from_numpy(hashes), valid)
+    expect = np_bloom_insert(64 * 8, hashes[valid])
+    assert bf_format.words_to_bytes(np.asarray(bf.words), 64) == expect.tobytes()
+
+
+def test_bf_insert_and_check():
+    hashes = np.array([[1, 2, 3]], dtype=np.uint64)
+    bf = bloom.create(800, 3, 5)
+    bf, found = bloom.insert_and_check(bf, u64.from_numpy(hashes))
+    assert not np.asarray(found)[0]
+    bf, found = bloom.insert_and_check(bf, u64.from_numpy(hashes))
+    assert np.asarray(found)[0]
+
+
+def test_bf_pop_and_fpr():
+    bf = build_bloom(README_SEQ, 1000, 4, 5)
+    pop = int(bloom.get_pop(bf))
+    raw = np.unpackbits(
+        np.frombuffer(bf_format.words_to_bytes(np.asarray(bf.words), 125),
+                      dtype=np.uint8))
+    assert pop == int(raw.sum())
+    fpr = float(bloom.get_fpr(bf))
+    assert abs(fpr - (pop / 1000.0) ** 4) < 1e-9
+
+
+def test_bf_size_must_be_multiple_of_8():
+    with pytest.raises(ValueError):
+        bloom.create(1001, 4, 5)
+
+
+def test_bf_sizing_math():
+    # mirrors writeBloom_rolling.cpp:100-103 / BloomFilter.hpp:406-419
+    assert bloom.calc_optimal_size(1000, 0.0001, 0 or 13) % 64 == 0
+    assert bloom.calc_opti_hash_num(0.0001) == 13
+
+
+# ---------------------------------------------------------------------------
+# CountingBloomFilter
+# ---------------------------------------------------------------------------
+
+def insert_stream(cbf, seq):
+    codes = nthash_tables.encode_seq(seq)
+    frames = nthash.hash_frames(codes, cbf.kmer_size, cbf.hash_num)
+    return counting.insert(cbf, frames.hashes, frames.valid)
+
+
+def test_cbf_small_bytes_exact(tmp_path):
+    cbf = counting.create(1000, 5, 8, 1, counter_width=1)
+    for _ in range(3):
+        cbf = insert_stream(cbf, CBF_SEQ)
+    p = tmp_path / "out.bf"
+    bf_format.store_counting(cbf, str(p))
+    assert p.read_bytes() == golden_bytes("cbf_small.bf")
+
+
+def test_cbf_round_bytes_exact(tmp_path):
+    cbf = counting.create(1001, 4, 6, 2, counter_width=1)
+    assert cbf.size_in_bytes == 1008
+    cbf = insert_stream(cbf, golden_long_seq(300)[:100])
+    p = tmp_path / "out.bf"
+    bf_format.store_counting(cbf, str(p))
+    assert p.read_bytes() == golden_bytes("cbf_round.bf")
+
+
+def test_cbf64_bytes_exact(tmp_path):
+    cbf = counting.create(4096, 3, 5, 1, counter_width=8)
+    cbf = insert_stream(cbf, golden_long_seq(300)[:120])
+    p = tmp_path / "out.bf"
+    bf_format.store_counting(cbf, str(p))
+    assert p.read_bytes() == golden_bytes("cbf64_small.bf")
+
+
+def test_cbf_load_golden_and_query(tmp_path):
+    p = tmp_path / "g.bf"
+    p.write_bytes(golden_bytes("cbf_small.bf"))
+    cbf = bf_format.load_counting(str(p), count_threshold=2)
+    assert (cbf.size, cbf.hash_num, cbf.kmer_size) == (1000, 5, 8)
+    codes = nthash_tables.encode_seq(CBF_SEQ)
+    frames = nthash.hash_frames(codes, 8, 5)
+    counts = np.asarray(counting.min_count(cbf, frames.hashes))
+    # every k-mer was inserted 3 times
+    assert (counts == 3).all()
+    assert np.asarray(counting.contains(cbf, frames.hashes)).all()
+
+
+def test_cbf_conservative_update_semantics():
+    """Conservative update increments only the minimum counters, in stream
+    order; verified against a step-by-step numpy model of incrementMin."""
+    rng = np.random.default_rng(11)
+    size = 97  # prime => plenty of collisions
+    h = 4
+    hashes = rng.integers(0, 1 << 64, size=(60, h), dtype=np.uint64)
+
+    model = np.zeros(size, dtype=np.uint8)
+    for row in hashes:
+        pos = (row % size).astype(int)
+        mn = model[pos].min()
+        if mn == 0xFF:
+            continue
+        model[pos] = np.where(model[pos] == mn, mn + 1, model[pos])
+
+    cbf = counting.create(size, h, 5, 1, counter_width=1)
+    # size 97 -> rounds to 104 bytes => 104 counters; rebuild model at 104
+    size = cbf.size
+    model = np.zeros(size, dtype=np.uint8)
+    for row in hashes:
+        pos = (row % size).astype(int)
+        mn = model[pos].min()
+        if mn == 0xFF:
+            continue
+        model[pos] = np.where(model[pos] == mn, mn + 1, model[pos])
+    cbf = counting.insert(cbf, u64.from_numpy(hashes))
+    np.testing.assert_array_equal(np.asarray(cbf.counters), model)
+
+
+def test_cbf_overflow_freeze():
+    size = 8
+    h = 2
+    cbf = counting.create(size, h, 4, 1, counter_width=1)
+    hashes = np.zeros((300, h), dtype=np.uint64)  # all map to pos 0
+    cbf = counting.insert(cbf, u64.from_numpy(hashes))
+    assert int(np.asarray(cbf.counters)[0]) == 255  # frozen at max
+
+
+def test_cbf_increment_all():
+    rng = np.random.default_rng(5)
+    h = 3
+    cbf = counting.create(64, h, 4, 1, counter_width=1)
+    hashes = rng.integers(0, 1 << 64, size=(40, h), dtype=np.uint64)
+    cbf = counting.insert_all(cbf, u64.from_numpy(hashes))
+    model = np.zeros(cbf.size, dtype=np.int64)
+    for hv in hashes.reshape(-1):
+        model[int(hv) % cbf.size] += 1
+    np.testing.assert_array_equal(np.asarray(cbf.counters),
+                                  np.minimum(model, 255).astype(np.uint8))
+
+
+def test_cbf_popcounts():
+    cbf = counting.create(64, 2, 4, 2, counter_width=1)
+    hashes = np.array([[0, 1], [0, 1], [2, 3]], dtype=np.uint64)
+    cbf = counting.insert_all(cbf, u64.from_numpy(hashes))
+    assert int(counting.pop_count(cbf)) == 4
+    assert int(counting.filtered_pop_count(cbf)) == 2
