@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Headline benchmark: k-mer insert throughput per chip vs the C++ reference.
+
+Prints ONE JSON line:
+  {"metric": "kmer_inserts_per_s", "value": N, "unit": "kmers/s",
+   "vs_baseline": N}
+
+vs_baseline = TPU k-mers/s divided by the single-core C++ reference rate
+measured on this machine (the reference publishes no numbers; BASELINE.md).
+
+Workload: hash every k-mer window of random reads (k=31, h=4) and insert
+into a 2**30-bit Bloom filter — the reference README's build loop, batched.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+K, H = 31, 4
+SIZE = 1 << 30
+B, L = 512, 2048
+REPS = 10
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def cpp_baseline():
+    """Compile+run the reference insert loop single-core; returns kmers/s."""
+    exe = "/tmp/btl_cpp_bench"
+    src = os.path.join(_DIR, "bench", "cpp_bench.cpp")
+    try:
+        subprocess.run(["g++", "-O3", "-std=c++11", "-I/root/reference",
+                        "-o", exe, src], check=True, capture_output=True,
+                       timeout=120)
+        out = subprocess.run(
+            [exe, str(K), str(H), str(SIZE), "128", "2048"],
+            check=True, capture_output=True, timeout=300)
+        return json.loads(out.stdout.decode())["insert_kmers_per_s"]
+    except Exception as e:  # noqa: BLE001  (bench must always emit a line)
+        print(f"cpp baseline failed: {e}", file=sys.stderr)
+        return None
+
+
+def tpu_rate():
+    import jax
+    import jax.numpy as jnp
+
+    from btl_bloomfilter_tpu.models import bloom
+    from btl_bloomfilter_tpu.ops import nthash
+
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 4, size=(B, L), dtype=np.uint8))
+    bf = bloom.create(SIZE, H, K)
+
+    @jax.jit
+    def step(words, codes):
+        frames = nthash.hash_frames(codes, K, H)
+        state = bloom.BloomFilter(words=words, size=SIZE, hash_num=H,
+                                  kmer_size=K)
+        return bloom.insert(state, frames.hashes, frames.valid).words
+
+    words = bf.words
+    words = step(words, codes)  # compile + warm
+    jax.block_until_ready(words)
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        words = step(words, codes)
+    jax.block_until_ready(words)
+    dt = time.perf_counter() - t0
+
+    kmers = B * (L - K + 1) * REPS
+    return kmers / dt
+
+
+def main():
+    rate = tpu_rate()
+    base = cpp_baseline()
+    vs = rate / base if base else None
+    print(json.dumps({
+        "metric": "kmer_inserts_per_s",
+        "value": round(rate, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

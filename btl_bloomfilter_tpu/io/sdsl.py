@@ -1,0 +1,93 @@
+"""sdsl-style interleaved bit vector serialization (bit_vector_il<512>).
+
+The reference persists its MIBF top-level bit vector via
+``sdsl::store_to_file(m_bv, path + ".sdsl")`` (MIBloomFilter.hpp:294-297)
+where ``m_bv`` is ``sdsl::bit_vector_il<512>`` (MIBloomFilter.hpp:801).
+
+sdsl-lite is not available in this environment (no package, no source, no
+network), so this module implements a RECONSTRUCTION of that on-disk
+format from the sdsl-lite layout:
+
+  uint64 m_size                      bit length of the vector
+  int_vector<64> m_data              8-byte bit-size header (64 * #words)
+                                     followed by raw little-endian words:
+                                     per 512-bit superblock, one cumulative
+                                     rank word followed by eight 64-bit
+                                     data words (interleaved layout)
+  int_vector<64> m_rank_samples      select acceleration samples; written
+                                     empty here (loader does not need them)
+
+Round-trips through this module are byte-stable and rank-consistent; exact
+byte parity against genuine sdsl-lite output is untestable in this
+environment and flagged in docs/PARITY.md as a known risk.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+BLOCKSIZE = 512
+_WORDS_PER_BLOCK = BLOCKSIZE // 64
+
+
+def _words64_from_bits(bits_u32: np.ndarray, size_bits: int) -> np.ndarray:
+    """uint32 word array -> uint64 little-endian word array."""
+    n64 = (size_bits + 63) // 64
+    u32 = np.zeros(2 * n64, dtype="<u4")
+    u32[: bits_u32.shape[0]] = bits_u32
+    return u32.view("<u8")
+
+
+def _bits_u32_from_words64(words64: np.ndarray, size_bits: int) -> np.ndarray:
+    n32 = (size_bits + 31) // 32
+    u32 = words64.astype("<u8").view("<u4")
+    out = np.zeros(n32, dtype=np.uint32)
+    out[:] = u32[:n32]
+    return out
+
+
+def serialize_bit_vector_il(bits_u32: np.ndarray, size_bits: int) -> bytes:
+    """Serialize a plain bit vector (uint32 words) as bit_vector_il<512>."""
+    data64 = _words64_from_bits(np.asarray(bits_u32, np.uint32), size_bits)
+    n64 = data64.shape[0]
+    nblocks = (n64 + _WORDS_PER_BLOCK - 1) // _WORDS_PER_BLOCK
+
+    popc = np.zeros(n64, dtype=np.uint64)
+    v = data64.copy()
+    # per-word popcount
+    for shift, mask in ((1, 0x5555555555555555), (2, 0x3333333333333333),
+                        (4, 0x0F0F0F0F0F0F0F0F)):
+        v = (v & np.uint64(mask)) + ((v >> np.uint64(shift)) & np.uint64(mask))
+    popc = (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+    interleaved = np.zeros(nblocks * (_WORDS_PER_BLOCK + 1), dtype="<u8")
+    cum = np.uint64(0)
+    for b in range(nblocks):
+        base = b * (_WORDS_PER_BLOCK + 1)
+        interleaved[base] = cum
+        chunk = data64[b * _WORDS_PER_BLOCK:(b + 1) * _WORDS_PER_BLOCK]
+        interleaved[base + 1: base + 1 + chunk.shape[0]] = chunk
+        cum = cum + popc[b * _WORDS_PER_BLOCK:(b + 1) * _WORDS_PER_BLOCK].sum()
+
+    out = bytearray()
+    out += struct.pack("<Q", size_bits)                      # m_size
+    out += struct.pack("<Q", 64 * interleaved.shape[0])      # m_data bit-size
+    out += interleaved.tobytes()
+    out += struct.pack("<Q", 0)                              # empty samples
+    return bytes(out)
+
+
+def deserialize_bit_vector_il(buf: bytes):
+    """Parse bit_vector_il<512> bytes -> (bits_u32, size_bits)."""
+    size_bits = struct.unpack_from("<Q", buf, 0)[0]
+    data_bits = struct.unpack_from("<Q", buf, 8)[0]
+    nwords = data_bits // 64
+    interleaved = np.frombuffer(buf, dtype="<u8", count=nwords, offset=16)
+    # strip the per-superblock rank words
+    nblocks = nwords // (_WORDS_PER_BLOCK + 1)
+    il = interleaved.reshape(nblocks, _WORDS_PER_BLOCK + 1)
+    data64 = il[:, 1:].reshape(-1)
+    n64 = (size_bits + 63) // 64
+    return _bits_u32_from_words64(data64[:n64], size_bits), size_bits

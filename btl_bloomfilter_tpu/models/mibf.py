@@ -1,0 +1,254 @@
+"""Multi-index Bloom filter (MIBF): rank/select ID lookup on TPU.
+
+Replicates /root/reference/MIBloomFilter.hpp. The reference stores the
+top-level bit vector as an sdsl interleaved bit vector with a rank support
+structure; here rank is a precomputed per-word exclusive cumulative popcount
+plus an in-word masked popcount — one gather + one popcount per query, fully
+batched. The ID array ("data") is indexed by rank exactly as the reference's
+``m_data[rank]`` (MIBloomFilter.hpp:144-146).
+
+Value-bit layout parity (MIBloomFilter.hpp:36-44): the top bit of each data
+value is the saturation flag ``s_mask``, the next bit the strand flag
+``s_strand``; the rest is the ID.
+
+The bit vector is frozen after construction (phase 2 of the construct
+pipeline); ``freeze`` computes the rank acceleration structure once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import u64
+from ..ops.u64 import U64
+
+_DTYPES = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32}
+
+BLOCKSIZE = 512  # sdsl interleaving block, MIBloomFilter.hpp:44
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["bv_words", "cum_ranks", "data"],
+         meta_fields=["size", "hash_num", "kmer_size", "d_size",
+                      "data_width", "sseeds"])
+@dataclasses.dataclass
+class MIBloomFilter:
+    bv_words: jax.Array    # uint32[ceil(size/32)] frozen bit vector
+    cum_ranks: jax.Array   # uint32[nwords] exclusive cumulative popcounts
+    data: jax.Array        # ID array [d_size], dtype per data_width
+    size: int              # bit-vector length in bits
+    hash_num: int
+    kmer_size: int
+    d_size: int            # population count == len(data)
+    data_width: int        # sizeof(T) in bytes: 1, 2 or 4
+    sseeds: Tuple[str, ...] = ()
+
+    # --- bit-layout constants (MIBloomFilter.hpp:36-44) -------------------
+    @property
+    def s_mask(self) -> int:
+        return 1 << (8 * self.data_width - 1)
+
+    @property
+    def s_anti_mask(self) -> int:
+        return self.s_mask - 1  # (T)~s_mask
+
+    @property
+    def s_strand(self) -> int:
+        return 1 << (8 * self.data_width - 2)
+
+    @property
+    def s_id_mask(self) -> int:
+        return self.s_strand - 1
+
+
+def calc_optimal_size(entries: int, hash_num: int, occupancy: float) -> int:
+    """Occupancy-based sizing (MIBloomFilter.hpp:84-88)."""
+    non64 = int(-float(entries) * hash_num / math.log(1.0 - occupancy))
+    return non64 + (64 - non64 % 64)
+
+
+def parse_seed_string(spaced_seeds: Sequence[str]):
+    """MIBloomFilter::parseSeedString (MIBloomFilter.hpp:49-61)."""
+    return [[j for j, ch in enumerate(s) if ch == "0"] for s in spaced_seeds]
+
+
+def calc_prob_single_frame(occupancy: float, hash_num: int, freq: float,
+                           allowed_misses: int) -> float:
+    """Per-frame random-match probability (MIBloomFilter.hpp:65-77)."""
+    total = 0.0
+    for i in range(hash_num - allowed_misses, hash_num + 1):
+        prob = math.comb(hash_num, i)
+        prob *= occupancy ** i
+        prob *= (1.0 - occupancy) ** (hash_num - i)
+        prob *= 1.0 - (1.0 - freq) ** i
+        total += prob
+    return total
+
+
+# ---------------------------------------------------------------------------
+# construction from a frozen bit vector
+# ---------------------------------------------------------------------------
+
+def freeze(bv_words: jax.Array, size: int, hash_num: int, kmer_size: int,
+           data_width: int = 2, sseeds: Sequence[str] = ()) -> MIBloomFilter:
+    """Build the rank structure and empty ID array from a populated bit
+    vector — the analog of the MIBloomFilter(bv) constructor
+    (MIBloomFilter.hpp:122-147)."""
+    pops = jax.lax.population_count(bv_words)
+    cum = jnp.cumsum(pops.astype(jnp.uint32)) - pops.astype(jnp.uint32)
+    d_size = int(jnp.sum(pops))
+    data = jnp.zeros(d_size, _DTYPES[data_width])
+    return MIBloomFilter(bv_words=bv_words, cum_ranks=cum, data=data,
+                         size=size, hash_num=hash_num, kmer_size=kmer_size,
+                         d_size=d_size, data_width=data_width,
+                         sseeds=tuple(sseeds))
+
+
+# ---------------------------------------------------------------------------
+# rank queries
+# ---------------------------------------------------------------------------
+
+def positions(mibf: MIBloomFilter, hashes: U64) -> jax.Array:
+    if mibf.size > (1 << 32):
+        raise ValueError("MIBF larger than 2**32 bits not supported")
+    return u64.mod_to_index(hashes, mibf.size)
+
+
+def rank_of_positions(mibf: MIBloomFilter, pos: jax.Array):
+    """(rank, hit) for bit positions: rank = #1s strictly before pos
+    (sdsl rank semantics, used at MIBloomFilter.hpp:527)."""
+    word = (pos >> 5).astype(jnp.int32)
+    bit = pos & 31
+    w = mibf.bv_words[word]
+    before = w & ((jnp.uint32(1) << bit) - 1)
+    rank = mibf.cum_ranks[word] + jax.lax.population_count(before)
+    hit = ((w >> bit) & 1) == 1
+    return rank.astype(jnp.int32), hit
+
+
+def at_rank(mibf: MIBloomFilter, hashes: U64):
+    """Batch equivalent of atRank (MIBloomFilter.hpp:478-515): for hashes
+    U64[..., h] returns (rank int32[..., h], hit bool[..., h])."""
+    pos = positions(mibf, hashes)
+    return rank_of_positions(mibf, pos)
+
+
+def get_data(mibf: MIBloomFilter, rank: jax.Array) -> jax.Array:
+    return mibf.data[rank]
+
+
+def at(mibf: MIBloomFilter, hashes: U64, max_miss: int = 0):
+    """Batch equivalent of `at` (MIBloomFilter.hpp:448-472): returns
+    (values[..., h], ok[...], frame_saturated[...]) where ok marks frames
+    with <= max_miss missing positions; values at missing slots are 0 and
+    saturation bits are stripped."""
+    rank, hit = at_rank(mibf, hashes)
+    raw = jnp.where(hit, get_data(mibf, rank), 0)
+    misses = jnp.sum((~hit).astype(jnp.int32), axis=-1)
+    ok = misses <= max_miss
+    smask = jnp.asarray(mibf.s_mask, mibf.data.dtype)
+    anti = jnp.asarray(mibf.s_anti_mask, mibf.data.dtype)
+    sat = raw > smask
+    vals = jnp.where(sat, raw & anti, raw)
+    # reference semantics: any miss or any non-saturated present value
+    # clears the frame's saturated flag (MIBloomFilter.hpp:452-469)
+    frame_saturated = jnp.all(hit & sat, axis=-1)
+    return vals, ok, frame_saturated
+
+
+# ---------------------------------------------------------------------------
+# data mutation (batched)
+# ---------------------------------------------------------------------------
+
+def saturate(mibf: MIBloomFilter, hashes: U64) -> MIBloomFilter:
+    """OR the saturation bit at every addressed rank
+    (MIBloomFilter.hpp:440-446). Positions are assumed present in the bv
+    (construction invariant)."""
+    rank, _ = at_rank(mibf, hashes)
+    flat = rank.reshape(-1)
+    # scatter-OR of a single repeated mask: max works because the mask is
+    # the top bit — data | s_mask == max(data, data | s_mask) is NOT true in
+    # general, so build a bit delta then OR.
+    hasbit = jnp.zeros(mibf.d_size, bool).at[flat].set(True, mode="drop")
+    smask = jnp.asarray(mibf.s_mask, mibf.data.dtype)
+    data = jnp.where(hasbit, mibf.data | smask, mibf.data)
+    return dataclasses.replace(mibf, data=data)
+
+
+def set_data(mibf: MIBloomFilter, rank: jax.Array, ids: jax.Array
+             ) -> MIBloomFilter:
+    """Overwrite IDs at ranks, preserving the saturation bit
+    (setData, MIBloomFilter.hpp:625-634). Later duplicates win."""
+    smask = jnp.asarray(mibf.s_mask, mibf.data.dtype)
+    keep_sat = mibf.data & smask
+    newvals = ids.astype(mibf.data.dtype)
+    data = mibf.data.at[rank].set(newvals, mode="drop")
+    # re-apply preserved saturation bits at touched ranks
+    touched = jnp.zeros(mibf.d_size, bool).at[rank].set(True, mode="drop")
+    data = jnp.where(touched, data | keep_sat, data)
+    return dataclasses.replace(mibf, data=data)
+
+
+# ---------------------------------------------------------------------------
+# statistics (MIBloomFilter.hpp:539-620, 664-707)
+# ---------------------------------------------------------------------------
+
+def get_pop(mibf: MIBloomFilter) -> int:
+    return mibf.d_size
+
+
+def get_pop_non_zero(mibf: MIBloomFilter) -> jax.Array:
+    return jnp.sum((mibf.data != 0).astype(jnp.uint32))
+
+
+def get_pop_saturated(mibf: MIBloomFilter) -> jax.Array:
+    smask = jnp.asarray(mibf.s_mask, mibf.data.dtype)
+    return jnp.sum((mibf.data > smask).astype(jnp.uint32))
+
+
+def get_id_counts(mibf: MIBloomFilter, num_ids: int):
+    """Histogram of stored IDs (getIDCounts, MIBloomFilter.hpp:539-551).
+    Returns (counts[num_ids], saturated_count)."""
+    smask = jnp.asarray(mibf.s_mask, mibf.data.dtype)
+    anti = jnp.asarray(mibf.s_anti_mask, mibf.data.dtype)
+    sat = mibf.data > smask
+    ids = jnp.where(sat, mibf.data & anti, mibf.data).astype(jnp.int32)
+    counts = jnp.zeros(num_ids, jnp.uint32).at[ids].add(1, mode="drop")
+    return counts, jnp.sum(sat.astype(jnp.uint32))
+
+
+def get_id_counts_strand(mibf: MIBloomFilter, num_ids: int):
+    """getIDCountsStrand (MIBloomFilter.hpp:557-569): strips strand bit for
+    saturated entries via s_idMask, strand via s_antiStrand otherwise."""
+    smask = jnp.asarray(mibf.s_mask, mibf.data.dtype)
+    idm = jnp.asarray(mibf.s_id_mask, mibf.data.dtype)
+    width_mask = (1 << (8 * mibf.data_width)) - 1
+    antistrand = jnp.asarray(~mibf.s_strand & width_mask, mibf.data.dtype)
+    sat = mibf.data > smask
+    ids = jnp.where(sat, mibf.data & idm,
+                    mibf.data & antistrand).astype(jnp.int32)
+    counts = jnp.zeros(num_ids, jnp.uint32).at[ids].add(1, mode="drop")
+    return counts, jnp.sum(sat.astype(jnp.uint32))
+
+
+def calc_frame_probs(mibf: MIBloomFilter, num_ids: int, allowed_miss: int):
+    """calcFrameProbs (MIBloomFilter.hpp:664-679): per-ID frame match
+    probabilities. Returns (frame_probs list, saturation proportion)."""
+    occupancy = mibf.d_size / mibf.size
+    counts, sat = get_id_counts(mibf, num_ids)
+    counts = np.asarray(counts)
+    total = int(counts[1:].sum())
+    sat_prop = float(sat) / total if total else 0.0
+    probs = [0.0] * num_ids
+    for i in range(1, num_ids):
+        probs[i] = calc_prob_single_frame(
+            occupancy, mibf.hash_num, counts[i] / total if total else 0.0,
+            allowed_miss)
+    return probs, sat_prop

@@ -1,0 +1,401 @@
+"""MIBF construction: the 4-phase pipeline of MIBFConstructSupport plus the
+single-pass random-order insert of MIBloomFilter::insert.
+
+Reference: /root/reference/MIBFConstructSupport.hpp.
+
+Phase 1  populate a plain bit vector from hash frames      (insertBV :75-87)
+Phase 2  freeze into an MIBF with rank structure           (getEmptyMIBF :92-99)
+Phase 3  per-ID reservoir-sampled ID insertion             (insertMIBF :109-130)
+Phase 4  saturation pass with ID-mutation rescue           (insertSaturation
+                                                            /setSatIfMissing :132-214)
+
+Determinism note: the reference iterates a google::dense_hash_set of hash
+values in phase 3 — an implementation-defined order that additionally
+varies run-to-run under OpenMP. This implementation defines the processing
+order as *sorted by hash value*, which is deterministic and reproducible;
+the per-event reservoir arithmetic (count bump + ``std::hash<T>(v ^ id) %
+count == count-1`` acceptance, MIBFConstructSupport.hpp:122-128) is
+mirrored exactly, vectorized as a segmented last-accepted-wins reduction
+per rank.
+
+Phase 4 mirrors the reference's exact quirks: ``seenSet`` and
+``replacementIDs`` are constructed pre-filled with h zeros
+(MIBFConstructSupport.hpp:173-175), so ID 0 always qualifies as
+"duplicated" — reproduced faithfully.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import u64
+from ..ops.u64 import U64
+from ..utils import stdcpp
+from . import mibf as mibf_mod
+from .mibf import MIBloomFilter
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["bv_words"],
+         meta_fields=["filter_size", "kmer_size", "hash_num", "occupancy",
+                      "sseeds"])
+@dataclasses.dataclass
+class BitVectorState:
+    """Phase-1 state: the raw bit vector being populated."""
+
+    bv_words: jax.Array
+    filter_size: int
+    kmer_size: int
+    hash_num: int
+    occupancy: float
+    sseeds: tuple
+
+
+def create(expected_entries: int, k: int, hash_num: int,
+           occupancy: float = 0.5,
+           spaced_seeds: Sequence[str] = ()) -> BitVectorState:
+    """MIBFConstructSupport ctor (MIBFConstructSupport.hpp:36-46)."""
+    size = mibf_mod.calc_optimal_size(expected_entries, hash_num, occupancy)
+    nwords = (size + 31) // 32
+    return BitVectorState(bv_words=jnp.zeros(nwords, jnp.uint32),
+                          filter_size=size, kmer_size=k, hash_num=hash_num,
+                          occupancy=occupancy, sseeds=tuple(spaced_seeds))
+
+
+def _scatter_or_bits(words: jax.Array, pos: jax.Array, valid: jax.Array):
+    sent = jnp.uint32(0xFFFFFFFF)
+    p = jnp.where(valid, pos.astype(jnp.uint32), sent)
+    p_s = jnp.sort(p.reshape(-1))
+    keep = jnp.ones(p_s.shape, bool).at[1:].set(p_s[1:] != p_s[:-1])
+    keep = keep & (p_s != sent)
+    word = jnp.where(keep, (p_s >> 5).astype(jnp.int32), words.shape[0])
+    mask = jnp.where(keep, jnp.uint32(1) << (p_s & 31), jnp.uint32(0))
+    delta = jnp.zeros_like(words).at[word].add(mask, mode="drop",
+                                               indices_are_sorted=True)
+    return words | delta
+
+
+def insert_bv(state: BitVectorState, hashes: U64, valid=None
+              ) -> BitVectorState:
+    """Phase 1: scatter-OR all frame positions into the bit vector
+    (insertBV, MIBFConstructSupport.hpp:75-87)."""
+    pos = u64.mod_to_index(hashes, state.filter_size)
+    if valid is None:
+        v = jnp.ones(pos.shape, bool)
+    else:
+        v = jnp.broadcast_to(jnp.asarray(valid)[..., None], pos.shape)
+    return dataclasses.replace(
+        state, bv_words=_scatter_or_bits(state.bv_words, pos, v))
+
+
+def insert_bv_colli(state: BitVectorState, hashes: U64, valid=None):
+    """Phase-1 variant counting k-mers whose h positions were all already
+    set (insertBVColli, MIBFConstructSupport.hpp:55-73). Sequential in
+    stream order (lax.scan) to mirror the single-threaded reference."""
+    pos = u64.mod_to_index(hashes, state.filter_size)
+    h = pos.shape[-1]
+    flat = pos.reshape(-1, h)
+    if valid is None:
+        v = jnp.ones(flat.shape[0], bool)
+    else:
+        v = jnp.broadcast_to(jnp.asarray(valid),
+                             hashes.hi.shape[:-1]).reshape(-1)
+
+    def step(carry, inp):
+        words, count = carry
+        p, ok = inp
+        word = (p >> 5).astype(jnp.int32)
+        bit = p & 31
+        cur = words[word]
+        already = ((cur >> bit) & 1) == 1
+        colli = jnp.all(already)
+        newwords = words.at[word].set(
+            jnp.where(ok, cur | (jnp.uint32(1) << bit), cur))
+        count = count + jnp.where(ok & colli, 1, 0)
+        return (newwords, count), None
+
+    (words, count), _ = jax.lax.scan(
+        step, (state.bv_words, jnp.int32(0)), (flat, v))
+    return dataclasses.replace(state, bv_words=words), count
+
+
+def get_empty_mibf(state: BitVectorState, data_width: int = 2):
+    """Phase 2: freeze the bit vector into an MIBF + zeroed occurrence
+    counters (getEmptyMIBF, MIBFConstructSupport.hpp:92-99)."""
+    m = mibf_mod.freeze(state.bv_words, state.filter_size, state.hash_num,
+                        state.kmer_size, data_width=data_width,
+                        sseeds=state.sseeds)
+    counts = jnp.zeros(m.d_size, m.data.dtype)
+    return m, counts
+
+
+def _unique_sorted_u64(hashes: U64, valid):
+    """Flatten, mask, sort, and dedupe hash values. Returns
+    (hi, lo, keep_mask) sorted ascending with sentinels (max u64) last."""
+    hi = hashes.hi.reshape(-1)
+    lo = hashes.lo.reshape(-1)
+    if valid is not None:
+        v = jnp.broadcast_to(jnp.asarray(valid)[..., None],
+                             hashes.hi.shape).reshape(-1)
+        hi = jnp.where(v, hi, jnp.uint32(0xFFFFFFFF))
+        lo = jnp.where(v, lo, jnp.uint32(0xFFFFFFFF))
+    hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+    first = jnp.ones(hi_s.shape, bool)
+    neq = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+    keep = first.at[1:].set(neq)
+    # note: a genuine hash value of 2**64-1 would collide with the sentinel;
+    # astronomically unlikely and at worst drops one insertion event
+    sent = (hi_s == jnp.uint32(0xFFFFFFFF)) & (lo_s == jnp.uint32(0xFFFFFFFF))
+    return hi_s, lo_s, keep & ~sent
+
+
+def insert_mibf(m: MIBloomFilter, counts: jax.Array, hashes: U64, id_value: int,
+                valid=None):
+    """Phase 3: single-value reservoir sampling of ``id_value`` over the
+    unique hash values of one sequence (insertMIBF,
+    MIBFConstructSupport.hpp:109-130), processed in sorted-value order.
+
+    For each unique value v (in order): count = ++counts[rank(v)];
+    accept iff std::hash<T>(v ^ id) % count == count - 1; accepted values
+    overwrite data[rank] (last acceptance per rank wins).
+    Returns (mibf, counts).
+    """
+    width_bits = 8 * m.data_width
+    hi_s, lo_s, keep = _unique_sorted_u64(hashes, valid)
+    n = hi_s.shape[0]
+
+    pos = mibf_mod.positions(m, U64(hi_s, lo_s))
+    rank, _hit = mibf_mod.rank_of_positions(m, pos)
+    rank = jnp.where(keep, rank, jnp.int32(m.d_size))  # sentinel rank
+
+    # order by (rank, value): values are already sorted, so a stable sort
+    # on rank preserves value order within each rank group
+    order = jnp.argsort(rank, stable=True)
+    rank_o = rank[order]
+    keep_o = keep[order]
+    hi_o = hi_s[order]
+    lo_o = lo_s[order]
+
+    # within-group index: i - start_of_group
+    idx = jnp.arange(n)
+    is_start = jnp.ones(n, bool).at[1:].set(rank_o[1:] != rank_o[:-1])
+    group_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, idx, 0))
+    within = idx - group_start
+
+    c0 = counts[jnp.clip(rank_o, 0, max(m.d_size - 1, 0))].astype(jnp.uint32)
+    c0 = jnp.where(keep_o, c0, 0)
+    count_val = (c0 + within.astype(jnp.uint32) + 1) & jnp.uint32(
+        (1 << width_bits) - 1)
+
+    # std::hash<T>(v ^ id): identity after truncation to T
+    # (MIBFConstructSupport.hpp:122-125; libstdc++ integral hash)
+    vx_lo = lo_o ^ jnp.uint32(id_value & 0xFFFFFFFF)
+    vx_hi = hi_o ^ jnp.uint32((id_value >> 32) & 0xFFFFFFFF)
+    if width_bits >= 32:
+        hval = vx_lo  # T is uint32: low limb
+    else:
+        hval = vx_lo & jnp.uint32((1 << width_bits) - 1)
+    safe_count = jnp.maximum(count_val, 1)
+    accepted = keep_o & (count_val != 0) & (
+        (hval % safe_count) == (count_val - 1))
+
+    # last accepted within each group wins (later setData overwrites)
+    win_idx = jax.lax.associative_scan(
+        jnp.maximum,
+        jnp.where(accepted, idx, -1))
+    # at group ends, win_idx holds the last accepted index of that group;
+    # an element is the winner iff it is accepted and no later element of
+    # its group is accepted: equivalently idx == segment_max(accepted idx)
+    is_end = jnp.ones(n, bool).at[:-1].set(rank_o[1:] != rank_o[:-1])
+    # segment max from the scan is only correct at group ends; broadcast it
+    # back via reverse cummax of group ids... simpler: compute per-element
+    # segment maximum with a second pass keyed by group_start
+    seg_max = jax.ops.segment_max(
+        jnp.where(accepted, idx, -1), group_start, num_segments=n,
+        indices_are_sorted=True)
+    winner = accepted & (seg_max[group_start] == idx)
+
+    ranks_to_set = jnp.where(winner, rank_o, jnp.int32(m.d_size))
+    ids = jnp.full(n, id_value, m.data.dtype)
+    m = mibf_mod.set_data(m, ranks_to_set, ids)
+
+    # counts[rank] += group_size for each touched rank (wraps in T)
+    add = jnp.zeros(m.d_size, jnp.uint32).at[rank_o].add(
+        keep_o.astype(jnp.uint32), mode="drop", indices_are_sorted=True)
+    counts = (counts.astype(jnp.uint32) + add).astype(counts.dtype)
+    return m, counts
+
+
+def insert_saturation(m: MIBloomFilter, counts: jax.Array, hashes: U64,
+                      id_value: int, valid=None):
+    """Phase 4: per-frame saturation with ID-mutation rescue
+    (setSatIfMissing, MIBFConstructSupport.hpp:168-214), sequential over
+    frames via lax.scan. Returns (mibf, counts)."""
+    h = hashes.hi.shape[-1]
+    pos = mibf_mod.positions(m, hashes).reshape(-1, h)
+    if valid is None:
+        v = jnp.ones(pos.shape[0], bool)
+    else:
+        v = jnp.broadcast_to(jnp.asarray(valid),
+                             hashes.hi.shape[:-1]).reshape(-1)
+
+    smask = jnp.asarray(m.s_mask, m.data.dtype)
+    anti = jnp.asarray(m.s_anti_mask, m.data.dtype)
+    idv = jnp.asarray(id_value, m.data.dtype)
+
+    bv_words = m.bv_words
+    cum = m.cum_ranks
+
+    def rank_of(p):
+        word = (p >> 5).astype(jnp.int32)
+        before = bv_words[word] & ((jnp.uint32(1) << (p & 31)) - 1)
+        return (cum[word] + jax.lax.population_count(before)).astype(jnp.int32)
+
+    def step(carry, inp):
+        data, cnts = carry
+        p, ok = inp
+        rk = rank_of(p)                      # [h]
+        results = data[rk]
+        cur = results & anti                 # [h]
+        value_found = jnp.any(cur == idv)
+
+        # seenSet pre-filled with h zeros => cur==0 is always "seen";
+        # otherwise seen iff an earlier slot holds the same value
+        iota = jnp.arange(h)
+        same_earlier = (cur[None, :] == cur[:, None]) & (iota[None, :] < iota[:, None])
+        in_seen = (cur == 0) | jnp.any(same_earlier, axis=1)
+        # replacementIDs = pre-filled zeros + values appended when seen
+        dup_vals_mask = in_seen  # slots whose value went into replacementIDs
+        # membership: cur_i in replacementIDs iff cur_i==0 (pre-fill) or
+        # some slot j with dup_vals_mask[j] and cur[j]==cur[i]
+        in_repl = (cur == 0) | jnp.any(
+            dup_vals_mask[None, :] & (cur[None, :] == cur[:, None]), axis=1)
+
+        slot_counts = cnts[rk].astype(jnp.uint32)
+        # running strict max, first occurrence wins; qualifying slots only
+        qual = in_repl & (slot_counts > 0)
+        score = jnp.where(qual, slot_counts, 0)
+        best = jnp.max(score)
+        has_repl = best > 0
+        first_best = jnp.argmax(score == best)  # first index achieving max
+        repl_rank = rk[first_best]
+
+        do_mutate = ok & ~value_found & has_repl
+        do_saturate = ok & ~value_found & ~has_repl
+
+        new_id = jnp.where(
+            data[repl_rank] > smask, idv | smask, idv)
+        data = data.at[repl_rank].set(
+            jnp.where(do_mutate, new_id, data[repl_rank]))
+        cnts = cnts.at[repl_rank].add(
+            jnp.where(do_mutate, 1, 0).astype(cnts.dtype))
+
+        satvals = jnp.where(do_saturate, data[rk] | smask, data[rk])
+        data = data.at[rk].set(satvals)
+        return (data, cnts), None
+
+    (data, counts), _ = jax.lax.scan(step, (m.data, counts), (pos, v))
+    return dataclasses.replace(m, data=data), counts
+
+
+# ---------------------------------------------------------------------------
+# MIBloomFilter::insert — the single-pass random-order path
+# ---------------------------------------------------------------------------
+
+def insert_random_order(m: MIBloomFilter, hashes_np: np.ndarray,
+                        id_value: int, max_count: int,
+                        strand: np.ndarray | None = None):
+    """Host-side exact mirror of MIBloomFilter::insert
+    (MIBloomFilter.hpp:312-438): per-frame random-order non-overwriting
+    insertion with minstd_rand+std::shuffle slot ordering and saturation
+    fallback. ``hashes_np`` is uint64 [n_frames, h]. Returns (mibf,
+    per-frame success bool array).
+
+    This path is sequential and data-dependent by construction (the
+    reference uses it for incremental single-k-mer inserts); it runs on
+    host against materialized arrays.
+    """
+    data = np.asarray(m.data).copy()
+    bv = np.asarray(m.bv_words)
+    cum = np.asarray(m.cum_ranks)
+    width = 8 * m.data_width
+    s_mask = m.s_mask
+    s_anti = m.s_anti_mask
+    s_strand_bit = m.s_strand
+
+    def rank_of(posv):
+        word = posv >> 5
+        before = int(bv[word]) & ((1 << (posv & 31)) - 1)
+        return int(cum[word]) + bin(before).count("1")
+
+    results = []
+    strand_dir = bool(max_count % 2)
+    for fi, row in enumerate(np.asarray(hashes_np, dtype=np.uint64)):
+        count = 0
+        hash_order = []
+        saturated = True
+        rand_value = id_value
+        vals = []
+        for i, hv in enumerate(row):
+            posv = int(hv) % m.size
+            rk = rank_of(posv)
+            if strand is not None:
+                value = (id_value | s_strand_bit) if (
+                    strand_dir ^ bool(strand[fi][i])) else id_value
+            else:
+                value = id_value
+            vals.append((rk, value))
+            old = int(data[rk])
+            oldv = old & s_anti if old > s_mask else old
+            if old <= s_mask:
+                saturated = False
+            if oldv == value:
+                count += 1
+            else:
+                hash_order.append(i)
+            if count >= max_count:
+                results.append(True)
+                break
+            rand_value ^= int(hv)
+        else:
+            g = stdcpp.MinstdRand(rand_value)
+            hash_order = stdcpp.shuffle(hash_order, g)
+            inserted = False
+            for i in hash_order:
+                rk, value = vals[i]
+                old = int(data[rk])
+                if old == 0:
+                    data[rk] = value
+                    old_after = 0
+                else:
+                    old_after = old
+                if old_after > s_mask:
+                    old_after &= s_anti
+                else:
+                    saturated = False
+                if old_after == 0:
+                    count += 1
+                if count >= max_count:
+                    results.append(True)
+                    inserted = True
+                    break
+            if not inserted:
+                if count == 0:
+                    if not saturated:
+                        assert max_count == 1, (
+                            "spaced seed is probably not symmetric")
+                        for hv in row:
+                            rk = rank_of(int(hv) % m.size)
+                            data[rk] |= s_mask
+                    results.append(False)
+                else:
+                    results.append(True)
+    m = dataclasses.replace(m, data=jnp.asarray(data))
+    return m, np.array(results, dtype=bool)

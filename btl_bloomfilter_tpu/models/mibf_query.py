@@ -1,0 +1,353 @@
+"""MIBF read-classification engine (MIBFQuerySupport equivalent).
+
+Replicates /root/reference/MIBFQuerySupport.hpp: streaming per-frame ID
+statistics (7 counters per candidate ID), candidate promotion, the
+extra-frame early exit, and the final stderr-equivalence ranking.
+
+TPU-native split:
+  * the heavy per-frame work (bit tests, rank gathers, ID gathers) is
+    batched over all frames of a read at once;
+  * the order-dependent bookkeeping (seen-set dedupe, candidate promotion,
+    early exit — MIBFQuerySupport.hpp:430-518) runs as a ``lax.scan`` over
+    frames, with the per-ID count table as carry — semantics identical to
+    the sequential loop, including stopping (frames after the early exit
+    contribute nothing);
+  * the final candidate ranking (summarizeCandiates,
+    MIBFQuerySupport.hpp:555-596) runs host-side on the tiny count table.
+
+The reference's ``readCount`` reset trick (MIBFQuerySupport.hpp:447-453)
+avoids clearing the count table between reads; here the scan simply starts
+from a zero table per read, which is equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.u64 import U64
+from . import mibf as mibf_mod
+from .mibf import MIBloomFilter
+
+# count-table columns
+_COUNT, _NONSAT, _TOTAL, _TOTALNONSAT, _NONSATFRAME, _SOLID = range(6)
+
+
+@dataclasses.dataclass
+class QueryResult:
+    """Mirrors MIBFQuerySupport::QueryResult (MIBFQuerySupport.hpp:61-71)."""
+
+    id: int
+    count: int
+    non_sat_count: int
+    total_count: int
+    total_non_sat_count: int
+    non_sat_frame_count: int
+    solid_count: int
+    frame_prob: float
+
+
+def _compare_std_err(a, b):
+    """compareStdErr (MIBFQuerySupport.hpp:296-304): 'roughly equal' within
+    sqrt standard errors. Device version in float32 (counts are small
+    integers, exactly representable)."""
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    sa = jnp.sqrt(af)
+    sb = jnp.sqrt(bf)
+    return jnp.where(af > bf, (af - sa) <= (bf + sb), (bf - sb) <= (af + sa))
+
+
+def _compare_std_err_host(a: float, b: float) -> bool:
+    sa, sb = math.sqrt(a), math.sqrt(b)
+    if a > b:
+        return (a - sa) <= (b + sb)
+    return (b - sb) <= (a + sa)
+
+
+def query_scan(m: MIBloomFilter, frame_rank: jax.Array, frame_hit: jax.Array,
+               frame_valid: jax.Array, frame_misses: jax.Array,
+               min_count: jax.Array, num_ids: int, extra_frame_limit: int):
+    """Run the sequential per-frame bookkeeping over one read's frames.
+
+    frame_rank  int32 [W, h]   rank positions (garbage where not hit)
+    frame_hit   bool  [W, h]   bit-vector hits per slot
+    frame_valid bool  [W]      frame enters the loop at all (iterator order)
+    frame_misses int32 [W]     misses per frame (0 for plain k-mer path)
+    min_count   int32 [num_ids] per-ID promotion threshold
+
+    Returns dict of arrays: counts [num_ids, 6], candidate mask [num_ids],
+    best counts [6], sat_count, eval_count.
+    """
+    h = frame_rank.shape[-1]
+    dtype = jnp.int32
+    smask = jnp.asarray(m.s_mask, jnp.uint32)
+    anti = jnp.asarray(m.s_anti_mask, jnp.uint32)
+
+    data = m.data.astype(jnp.uint32)
+
+    def step(carry, inp):
+        counts, cand, best, second_best, extra_frame, stopped, satc, evalc = carry
+        rank, hit, valid, misses = inp
+
+        active = valid & ~stopped
+
+        raw = jnp.where(hit, data[rank], 0)              # [h] uint32
+        sat = raw > smask
+        stripped = jnp.where(sat, raw & anti, raw).astype(dtype)
+
+        # seen-set: first occurrence of each RAW value among hit slots
+        iota = jnp.arange(h)
+        earlier = iota[None, :] < iota[:, None]          # [i, j]: j < i
+        same_raw_earlier = (raw[None, :] == raw[:, None]) & earlier & \
+            hit[None, :]
+        first_raw = hit & ~jnp.any(same_raw_earlier, axis=1)
+
+        def upd(mask_):
+            return jnp.zeros((num_ids,), dtype).at[
+                jnp.where(mask_, stripped, num_ids)].add(1, mode="drop")
+
+        inc_total = upd(hit & active)
+        inc_totalnonsat = upd(hit & active & ~sat)
+
+        # count/nonSatCount increments (MIBFQuerySupport.hpp:457-471): a
+        # saturated first-seen raw bumps count only if its *stripped* value
+        # was not already pushed to the seen-set by an earlier slot
+        stripped_u32 = stripped.astype(jnp.uint32)
+        earlier_pushed_eq_stripped = jnp.any(
+            first_raw[None, :] & (raw[None, :] == stripped_u32[:, None]) &
+            earlier, axis=1)
+        inc_count_sat = first_raw & sat & ~earlier_pushed_eq_stripped
+        inc_count_nonsat = first_raw & ~sat
+        inc_count = upd((inc_count_sat | inc_count_nonsat) & active)
+        inc_nonsat = upd(inc_count_nonsat & active)
+
+        frame_has_sat = jnp.any(hit & sat)
+
+        # nonSatFrame / solid bumps when no slot in the frame was saturated
+        no_sat = ~frame_has_sat
+        inc_nsf = upd(first_raw & active & no_sat)
+        inc_solid = upd(first_raw & active & no_sat & (misses == 0))
+
+        delta = jnp.stack([inc_count, inc_nonsat, inc_total, inc_totalnonsat,
+                           inc_nsf, inc_solid], axis=1)
+        counts = counts + jnp.where(active, delta, 0)
+
+        # candidate promotion (MIBFQuerySupport.hpp:485-508), processed
+        # sequentially over the frame's seen-set entries exactly like the
+        # reference (a promotion affects later entries via candidate
+        # existence and running best counts). For a saturated raw whose
+        # stripped version also appears in the seen-set, the entry is
+        # skipped (:487-492).
+        stripped_also_seen = jnp.any(
+            first_raw[None, :] & (raw[None, :] == stripped_u32[:, None]) &
+            (iota[None, :] != iota[:, None]) & sat[:, None] &
+            ~sat[None, :], axis=1)
+        consider = first_raw & active & ~(sat & stripped_also_seen)
+        for i in range(h):
+            cid = jnp.clip(stripped[i], 0, num_ids - 1)
+            c = counts[cid]
+            has_cand = jnp.any(cand)
+            ok = consider[i] & (
+                (c[_COUNT] >= min_count[cid]) |
+                (has_cand & (c[_COUNT] >= best[_COUNT])))
+            cand = cand.at[cid].set(cand[cid] | ok)
+            # updateMaxCounts (MIBFQuerySupport.hpp:520-542)
+            nsf = c[_NONSATFRAME]
+            best_nsf = best[_NONSATFRAME]
+            best = best.at[_NONSATFRAME].set(
+                jnp.where(ok & (nsf > best_nsf), nsf, best_nsf))
+            second_best = jnp.where(
+                ok & ~(nsf > best_nsf) & (nsf > second_best), nsf,
+                second_best)
+            for col in (_COUNT, _NONSAT, _SOLID, _TOTAL, _TOTALNONSAT):
+                best = best.at[col].set(
+                    jnp.where(ok & (c[col] > best[col]), c[col], best[col]))
+
+        satc = satc + jnp.where(active & frame_has_sat, 1, 0)
+        evalc = evalc + jnp.where(active, jnp.sum(hit.astype(dtype)) + 1, 0)
+
+        # early-exit bookkeeping (MIBFQuerySupport.hpp:509-517); note the
+        # reference compares totalNonSatCount against
+        # secondBestNonSatFrameCount — mirrored as-is
+        reset = _compare_std_err(best[_TOTALNONSAT], second_best)
+        extra_frame = jnp.where(active & reset, 0, extra_frame)
+        leading = best[_NONSATFRAME] > second_best
+        hit_limit = leading & (extra_frame_limit < extra_frame)
+        extra_frame = extra_frame + jnp.where(active & leading, 1, 0)
+        stopped = stopped | (active & hit_limit)
+
+        return (counts, cand, best, second_best, extra_frame, stopped,
+                satc, evalc), None
+
+    init = (jnp.zeros((num_ids, 6), dtype), jnp.zeros(num_ids, bool),
+            jnp.zeros(6, dtype), jnp.int32(0), jnp.int32(0),
+            jnp.asarray(False), jnp.int32(0), jnp.int32(0))
+    (counts, cand, best, second_best, _extra, _stopped, satc, evalc), _ = \
+        jax.lax.scan(step, init, (frame_rank, frame_hit, frame_valid,
+                                  frame_misses))
+    return {"counts": counts, "candidates": cand, "best": best,
+            "sat_count": satc, "eval_count": evalc}
+
+
+# ---------------------------------------------------------------------------
+# host-side summarize (MIBFQuerySupport.hpp:555-596)
+# ---------------------------------------------------------------------------
+
+def _sort_key(r: QueryResult):
+    return (-r.non_sat_frame_count, -r.count, -r.solid_count,
+            -r.non_sat_count, -r.total_non_sat_count, -r.total_count,
+            r.frame_prob)
+
+
+def _is_valid(c: np.ndarray, best: np.ndarray) -> bool:
+    """isValid: OR of six stderr comparisons (MIBFQuerySupport.hpp:333-342)."""
+    pairs = [(_COUNT, _COUNT), (_TOTALNONSAT, _TOTALNONSAT),
+             (_NONSATFRAME, _NONSATFRAME), (_SOLID, _SOLID),
+             (_NONSAT, _NONSAT), (_TOTAL, _TOTAL)]
+    return any(_compare_std_err_host(float(best[b]), float(c[a]))
+               for a, b in pairs)
+
+
+def _roughly_equal_or_larger(a: QueryResult, b: QueryResult,
+                             extra_count: float) -> bool:
+    """isRoughlyEqualOrLarger (MIBFQuerySupport.hpp:347-356)."""
+    def cmp(x, y):
+        sx = math.sqrt(x) * extra_count
+        sy = math.sqrt(y) * extra_count
+        return (x - sx) <= (y + sy)
+    return (cmp(a.count, b.count) and
+            cmp(a.total_non_sat_count, b.total_non_sat_count) and
+            cmp(a.non_sat_frame_count, b.non_sat_frame_count) and
+            cmp(a.solid_count, b.solid_count) and
+            cmp(a.non_sat_count, b.non_sat_count) and
+            cmp(a.total_count, b.total_count))
+
+
+def _check_count_agreement(b: QueryResult, a: QueryResult) -> bool:
+    """checkCountAgreement (MIBFQuerySupport.hpp:358-364)."""
+    return (b.non_sat_frame_count >= a.non_sat_frame_count and
+            b.count >= a.count and b.solid_count >= a.solid_count and
+            b.non_sat_count >= a.non_sat_count and
+            b.total_non_sat_count >= a.total_non_sat_count and
+            b.total_count >= a.total_count)
+
+
+def summarize(counts: np.ndarray, candidates: np.ndarray, best: np.ndarray,
+              per_frame_prob: Sequence[float], min_count: int,
+              extra_count: float, best_hit_agree: bool) -> List[QueryResult]:
+    """Candidate ranking + equivalence cut + best-hit-agreement veto."""
+    results: List[QueryResult] = []
+    cand_ids = np.nonzero(candidates)[0]
+    if cand_ids.size == 0 or min_count > best[_NONSATFRAME]:
+        return results
+    signif = []
+    for cid in cand_ids:
+        c = counts[cid]
+        if _is_valid(c, best):
+            signif.append(QueryResult(
+                id=int(cid), count=int(c[_COUNT]),
+                non_sat_count=int(c[_NONSAT]), total_count=int(c[_TOTAL]),
+                total_non_sat_count=int(c[_TOTALNONSAT]),
+                non_sat_frame_count=int(c[_NONSATFRAME]),
+                solid_count=int(c[_SOLID]),
+                frame_prob=float(per_frame_prob[cid])))
+    if len(signif) > 1:
+        signif.sort(key=_sort_key)
+        for cand in signif:
+            if _roughly_equal_or_larger(signif[0], cand, extra_count):
+                results.append(cand)
+        if best_hit_agree and len(results) >= 2 and \
+                not _check_count_agreement(results[0], results[1]):
+            results = []
+    elif signif:
+        results.append(signif[0])
+    return results
+
+
+# ---------------------------------------------------------------------------
+# high-level per-read query
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MIBFQuerySupport:
+    """Per-thread query engine mirroring the reference ctor params
+    (MIBFQuerySupport.hpp:33-59)."""
+
+    m: MIBloomFilter
+    per_frame_prob: Sequence[float]
+    extra_count: float
+    extra_frame_limit: int
+    max_miss: int
+    min_count: int
+    best_hit_agree: bool
+    sat_count: int = 0
+    eval_count: int = 0
+
+    def _run(self, frame_rank, frame_hit, frame_valid, frame_misses,
+             min_count_vec):
+        num_ids = len(self.per_frame_prob)
+        out = query_scan(self.m, frame_rank, frame_hit, frame_valid,
+                         frame_misses, jnp.asarray(min_count_vec, jnp.int32),
+                         num_ids, self.extra_frame_limit)
+        self.sat_count = int(out["sat_count"])
+        self.eval_count = int(out["eval_count"])
+        return summarize(np.asarray(out["counts"]),
+                         np.asarray(out["candidates"]),
+                         np.asarray(out["best"]), self.per_frame_prob,
+                         self.min_count, self.extra_count,
+                         self.best_hit_agree)
+
+    def _prep(self, hashes: U64, valid):
+        rank, hit = mibf_mod.at_rank(self.m, hashes)
+        misses = jnp.sum((~hit).astype(jnp.int32), axis=-1)
+        if self.max_miss == 0:
+            usable = jnp.asarray(valid) & (misses == 0)
+        else:
+            usable = jnp.asarray(valid) & (misses <= self.max_miss)
+        return rank, hit, usable, misses
+
+    def query(self, hashes: U64, valid, min_count_vec) -> List[QueryResult]:
+        """Single-read query (MIBFQuerySupport.hpp:94-109). hashes is
+        U64[W, h]; valid marks iterator-yielded frames."""
+        rank, hit, usable, misses = self._prep(hashes, valid)
+        return self._run(rank, hit, usable, misses, min_count_vec)
+
+    def query_paired(self, hashes1: U64, valid1, hashes2: U64, valid2,
+                     min_count_vec) -> List[QueryResult]:
+        """Paired-end query (MIBFQuerySupport.hpp:111-130): frames of the
+        two reads interleaved, falling back to whichever read still has
+        frames."""
+        r1, h1, u1, m1 = self._prep(hashes1, valid1)
+        r2, h2, u2, m2 = self._prep(hashes2, valid2)
+        # build the interleaved order host-side from the valid masks
+        v1 = np.nonzero(np.asarray(jnp.asarray(valid1)))[0]
+        v2 = np.nonzero(np.asarray(jnp.asarray(valid2)))[0]
+        order = []  # (which, idx)
+        i = j = 0
+        fc = 0
+        while i < len(v1) or j < len(v2):
+            use1 = (fc % 2 == 0 and i < len(v1)) or j >= len(v2)
+            if use1:
+                order.append((0, v1[i])); i += 1
+            else:
+                order.append((1, v2[j])); j += 1
+            fc += 1
+        if not order:
+            return []
+        sel = np.array(order)
+        rank = jnp.where((sel[:, 0] == 0)[:, None],
+                         jnp.asarray(r1)[sel[:, 1]],
+                         jnp.asarray(r2)[sel[:, 1]])
+        hit = jnp.where((sel[:, 0] == 0)[:, None],
+                        jnp.asarray(h1)[sel[:, 1]],
+                        jnp.asarray(h2)[sel[:, 1]])
+        usable = jnp.where(sel[:, 0] == 0, u1[sel[:, 1]], u2[sel[:, 1]])
+        misses = jnp.where(sel[:, 0] == 0, m1[sel[:, 1]], m2[sel[:, 1]])
+        return self._run(rank, hit, usable, misses, min_count_vec)

@@ -63,13 +63,15 @@ def or_allreduce_rsag(x: jax.Array, axis_name: str = AXIS) -> jax.Array:
         return or_allreduce_butterfly(x, axis_name)
     rank = lax.axis_index(axis_name)
 
-    # reduce-scatter by recursive halving
+    # reduce-scatter by recursive halving. Chunk widths are static python
+    # ints (n/2, n/4, ...); only the chunk *offset* is traced.
     step = p // 2
-    lo, hi = 0, n
+    width = n
+    lo = jnp.int32(0)
     buf = x
     while step >= 1:
-        half = (hi - lo) // 2
-        # partner differs in this bit; lower half keeps low chunk
+        half = width // 2
+        # partner differs in this bit; lower-ranked half keeps the low chunk
         perm = [(r, r ^ step) for r in range(p)]
         upper = (rank & step) != 0
         mine_lo = jnp.where(upper, lo + half, lo)
@@ -77,25 +79,22 @@ def or_allreduce_rsag(x: jax.Array, axis_name: str = AXIS) -> jax.Array:
         send = lax.dynamic_slice_in_dim(buf, send_lo, half)
         recv = lax.ppermute(send, axis_name, perm)
         keep = lax.dynamic_slice_in_dim(buf, mine_lo, half)
-        merged = keep | recv
-        buf = lax.dynamic_update_slice_in_dim(buf, merged, mine_lo, 0)
-        lo, hi = mine_lo, mine_lo + half
+        buf = lax.dynamic_update_slice_in_dim(buf, keep | recv, mine_lo, 0)
+        lo = mine_lo
+        width = half
         step //= 2
 
     # all-gather by recursive doubling (exchange owned chunks back)
     step = 1
-    chunk = n // p
     while step < p:
         perm = [(r, r ^ step) for r in range(p)]
         upper = (rank & step) != 0
-        # current owned region is [lo, lo + chunk*step)
-        width = chunk * step
         send = lax.dynamic_slice_in_dim(buf, lo, width)
         recv = lax.ppermute(send, axis_name, perm)
-        new_lo = jnp.where(upper, lo - width, lo)
         other_lo = jnp.where(upper, lo - width, lo + width)
         buf = lax.dynamic_update_slice_in_dim(buf, recv, other_lo, 0)
-        lo = new_lo
+        lo = jnp.where(upper, lo - width, lo)
+        width *= 2
         step <<= 1
     return buf
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import bloom
@@ -53,9 +53,8 @@ def dp_insert_seq(mesh: Mesh, bf: bloom.BloomFilter, codes) -> bloom.BloomFilter
         merged = collectives.or_allreduce_rsag(delta)
         return words | merged
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), P(AXIS)), out_specs=P(),
-                   check_rep=False)
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P(AXIS)),
+                           out_specs=P(), check_vma=False))
     new_words = fn(bf.words, jnp.asarray(codes))
     return dataclasses.replace(bf, words=new_words)
 
@@ -68,9 +67,8 @@ def dp_contains_seq(mesh: Mesh, bf: bloom.BloomFilter, codes):
         rep = dataclasses.replace(bf, words=words)
         return bloom.contains(rep, f.hashes) & f.valid, f.valid
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), P(AXIS)), out_specs=(P(AXIS), P(AXIS)),
-                   check_rep=False)
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P(AXIS)),
+                           out_specs=(P(AXIS), P(AXIS)), check_vma=False))
     return fn(bf.words, jnp.asarray(codes))
 
 
@@ -163,20 +161,18 @@ def sharded_insert_frames(mesh: Mesh, sbf: ShardedBloomFilter, hashes: U64,
         recv = recv.reshape(-1)  # all positions destined to me (global)
         my_rank = lax.axis_index(AXIS)
         base = (my_rank.astype(jnp.uint32)) * jnp.uint32(shard_bits)
-        ok = recv != jnp.uint32(0xFFFFFFFF)
-        local_pos = recv - base
-        word = jnp.where(ok, (local_pos >> 5).astype(jnp.int32),
-                         jnp.int32(words.shape[-1]))
-        mask = jnp.uint32(1) << (local_pos & 31)
-        # dedupe so scatter-add == scatter-OR
-        word_s = jnp.sort(word)
-        ordw = jnp.argsort(word)
-        pos_s = local_pos[ordw]
-        maskb = jnp.uint32(1) << (pos_s & 31)
+        sent = jnp.uint32(0xFFFFFFFF)
+        ok = recv != sent
+        local_pos = jnp.where(ok, recv - base, sent)
+        # dedupe by sorting positions so scatter-add == scatter-OR
+        pos_s = jnp.sort(local_pos)
         keep = jnp.ones(pos_s.shape, bool).at[1:].set(pos_s[1:] != pos_s[:-1])
-        w2 = jnp.where(keep, word_s, jnp.int32(words.shape[-1]))
-        delta = jnp.zeros_like(words[0]).at[w2].add(
-            jnp.where(keep, maskb, 0), mode="drop")
+        keep = keep & (pos_s != sent)
+        word = jnp.where(keep, (pos_s >> 5).astype(jnp.int32),
+                         jnp.int32(words.shape[-1]))
+        maskb = jnp.where(keep, jnp.uint32(1) << (pos_s & 31), jnp.uint32(0))
+        delta = jnp.zeros_like(words[0]).at[word].add(
+            maskb, mode="drop", indices_are_sorted=True)
         return (words[0] | delta)[None], overflow[None]
 
     if sbf.size > (1 << 32):
@@ -184,9 +180,9 @@ def sharded_insert_frames(mesh: Mesh, sbf: ShardedBloomFilter, hashes: U64,
                                   "size <= 2**32 bits")
     if valid is None:
         valid = jnp.ones(hashes.hi.shape[:-1], bool)
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-                   out_specs=(P(AXIS), P(AXIS)), check_rep=False)
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+                           out_specs=(P(AXIS), P(AXIS))))
     words, overflow = fn(sbf.words, hashes.hi, hashes.lo,
                          jnp.asarray(valid))
     return dataclasses.replace(sbf, words=words), jnp.sum(overflow)
@@ -225,7 +221,7 @@ def sharded_contains_frames(mesh: Mesh, sbf: ShardedBloomFilter, hashes: U64,
         hits = unsorted.reshape(shape)
         return jnp.all(hits == 1, axis=-1)
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(AXIS), P(AXIS), P(AXIS)),
-                   out_specs=P(AXIS), check_rep=False)
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                           out_specs=P(AXIS)))
     return fn(sbf.words, hashes.hi, hashes.lo)

@@ -1,0 +1,29 @@
+"""Platform selection helpers.
+
+The hosting environment may register an auto-prioritized TPU plugin that
+overrides the ``JAX_PLATFORMS`` environment variable; the only reliable
+way to pin a backend from library code is a post-import config update
+(before the first array operation).
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def force_cpu(host_device_count: int | None = None) -> None:
+    """Pin JAX to the CPU backend; optionally fake N host devices (for
+    testing multi-chip sharding without hardware)."""
+    import os
+
+    if host_device_count is not None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count="
+                f"{host_device_count}").strip()
+    jax.config.update("jax_platforms", "cpu")
+
+
+def default_backend() -> str:
+    return jax.default_backend()

@@ -1,0 +1,252 @@
+"""MIBF core + construction vs a transparent sequential python model.
+
+No C++ oracle exists for the MIBF (the reference's MIBF headers need
+sdsl-lite, absent here, and the reference repo itself ships no MIBF tests —
+SURVEY.md §4). The python model below mirrors the reference algorithms
+line-by-line (including the pre-filled-zeros quirks of setSatIfMissing) and
+the vectorized TPU implementation is checked against it.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from btl_bloomfilter_tpu.models import mibf, mibf_construct
+from btl_bloomfilter_tpu.ops import u64
+from btl_bloomfilter_tpu.utils import stdcpp
+
+RNG = np.random.default_rng(0x31)
+
+
+def rand_hashes(n, h, seed=1):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 1 << 64, size=(n, h), dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# python reference model
+# ---------------------------------------------------------------------------
+
+class PyMIBF:
+    """Sequential mirror of MIBloomFilter + MIBFConstructSupport."""
+
+    def __init__(self, size, h, width_bits=16):
+        self.size = size
+        self.h = h
+        self.width = width_bits
+        self.bits = np.zeros(size, dtype=bool)
+        self.s_mask = 1 << (width_bits - 1)
+        self.s_anti = self.s_mask - 1
+        self.frozen = False
+
+    def insert_bv(self, hashes):
+        for row in hashes:
+            for hv in row:
+                self.bits[int(hv) % self.size] = True
+
+    def freeze(self):
+        self.cum = np.concatenate([[0], np.cumsum(self.bits)])
+        self.d_size = int(self.bits.sum())
+        self.data = np.zeros(self.d_size, dtype=np.int64)
+        self.counts = np.zeros(self.d_size, dtype=np.int64)
+        self.frozen = True
+
+    def rank(self, pos):
+        return int(self.cum[pos])
+
+    def insert_mibf(self, hashes, idv):
+        # unique values in sorted order (framework's documented order)
+        vals = sorted({int(hv) for row in hashes for hv in row})
+        for v in vals:
+            rk = self.rank(v % self.size)
+            self.counts[rk] += 1
+            count = self.counts[rk] & ((1 << self.width) - 1)
+            hval = (v ^ idv) & ((1 << self.width) - 1)
+            if count and hval % count == count - 1:
+                sat = self.data[rk] & self.s_mask
+                self.data[rk] = idv | sat
+
+    def set_sat_if_missing(self, hashes, idv):
+        for row in hashes:
+            rk = [self.rank(int(hv) % self.size) for hv in row]
+            results = [int(self.data[r]) for r in rk]
+            seen = [0] * self.h
+            repl = [0] * self.h
+            found = False
+            for r in results:
+                cur = r & self.s_anti
+                if cur == idv:
+                    found = True
+                    break
+                if cur in seen:
+                    repl.append(cur)
+                else:
+                    seen.append(cur)
+            if found:
+                continue
+            repl_pos = None
+            min_count = 0
+            for i in range(self.h):
+                cur = results[i] & self.s_anti
+                if cur in repl:
+                    if min_count < self.counts[rk[i]]:
+                        min_count = self.counts[rk[i]]
+                        repl_pos = rk[i]
+            if repl_pos is not None:
+                sat = self.data[repl_pos] & self.s_mask
+                self.data[repl_pos] = idv | sat
+                self.counts[repl_pos] += 1
+            else:
+                for r in rk:
+                    self.data[r] |= self.s_mask
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def build_pair(size=4096, h=4, n=200, seed=1):
+    hashes = rand_hashes(n, h, seed)
+    st = mibf_construct.BitVectorState(
+        bv_words=jnp.zeros(size // 32, jnp.uint32), filter_size=size,
+        kmer_size=11, hash_num=h, occupancy=0.5, sseeds=())
+    st = mibf_construct.insert_bv(st, u64.from_numpy(hashes))
+    py = PyMIBF(size, h)
+    py.insert_bv(hashes)
+    return st, py, hashes
+
+
+def test_insert_bv_matches_model():
+    st, py, _ = build_pair()
+    words = np.asarray(st.bv_words)
+    got = np.unpackbits(words.view(np.uint8), bitorder="little")
+    np.testing.assert_array_equal(got[: py.size], py.bits)
+
+
+def test_freeze_and_rank():
+    st, py, hashes = build_pair()
+    py.freeze()
+    m, counts = mibf_construct.get_empty_mibf(st)
+    assert m.d_size == py.d_size
+    pos = (hashes.reshape(-1) % np.uint64(py.size)).astype(np.int64)
+    rank, hit = mibf.rank_of_positions(m, jnp.asarray(pos.astype(np.uint32)))
+    np.testing.assert_array_equal(np.asarray(rank),
+                                  [py.rank(p) for p in pos])
+    assert np.asarray(hit).all()  # all positions were inserted
+
+
+def test_insert_mibf_matches_model():
+    st, py, _ = build_pair()
+    py.freeze()
+    m, counts = mibf_construct.get_empty_mibf(st)
+    for idv, seed in [(3, 11), (5, 12), (9, 13)]:
+        seq_hashes = rand_hashes(40, 4, seed)
+        # only values already in the bv can be inserted; reuse bv hashes
+        m_hashes = rand_hashes(200, 4, 1)[seed % 100: seed % 100 + 40]
+        m, counts = mibf_construct.insert_mibf(
+            m, counts, u64.from_numpy(m_hashes), idv)
+        py.insert_mibf(m_hashes, idv)
+    np.testing.assert_array_equal(np.asarray(m.data).astype(np.int64), py.data)
+    np.testing.assert_array_equal(np.asarray(counts).astype(np.int64),
+                                  py.counts)
+
+
+def test_insert_saturation_matches_model():
+    st, py, _ = build_pair()
+    py.freeze()
+    m, counts = mibf_construct.get_empty_mibf(st)
+    base = rand_hashes(200, 4, 1)
+    for idv, lo in [(3, 0), (5, 40), (9, 80)]:
+        m, counts = mibf_construct.insert_mibf(
+            m, counts, u64.from_numpy(base[lo: lo + 40]), idv)
+        py.insert_mibf(base[lo: lo + 40], idv)
+    for idv, lo in [(3, 0), (5, 40), (9, 80), (7, 100)]:
+        m, counts = mibf_construct.insert_saturation(
+            m, counts, u64.from_numpy(base[lo: lo + 40]), idv)
+        py.set_sat_if_missing(base[lo: lo + 40], idv)
+    np.testing.assert_array_equal(np.asarray(m.data).astype(np.int64), py.data)
+    np.testing.assert_array_equal(np.asarray(counts).astype(np.int64),
+                                  py.counts)
+
+
+def test_at_and_saturate():
+    st, py, hashes = build_pair(n=50)
+    m, counts = mibf_construct.get_empty_mibf(st)
+    m, counts = mibf_construct.insert_mibf(
+        m, counts, u64.from_numpy(hashes), 7)
+    vals, ok, fsat = mibf.at(m, u64.from_numpy(hashes))
+    assert np.asarray(ok).all()
+    assert not np.asarray(fsat).any()
+    m2 = mibf.saturate(m, u64.from_numpy(hashes[:5]))
+    vals2, ok2, fsat2 = mibf.at(m2, u64.from_numpy(hashes[:5]))
+    assert np.asarray(fsat2).all()
+    np.testing.assert_array_equal(np.asarray(vals2), np.asarray(vals)[:5])
+
+
+def test_insert_random_order_roundtrip():
+    st, py, hashes = build_pair(n=30, h=3)
+    m, counts = mibf_construct.get_empty_mibf(st)
+    m, success = mibf_construct.insert_random_order(m, hashes[:30], 5, 1)
+    assert success.all()
+    vals, ok, _ = mibf.at(m, u64.from_numpy(hashes[:30]))
+    # with max=1 each frame must contain the ID in at least one slot
+    assert ((np.asarray(vals) == 5).any(axis=-1)).all()
+
+
+def test_id_counts():
+    st, py, hashes = build_pair(n=60, h=3, seed=9)
+    m, counts = mibf_construct.get_empty_mibf(st)
+    m, counts = mibf_construct.insert_mibf(m, counts,
+                                           u64.from_numpy(hashes), 2)
+    cts, sat = mibf.get_id_counts(m, 8)
+    assert int(sat) == 0
+    total_set = int(np.asarray(cts)[2])
+    assert total_set > 0
+    assert int(np.asarray(cts)[0]) == m.d_size - total_set
+
+
+def test_mibf_store_load_roundtrip(tmp_path):
+    from btl_bloomfilter_tpu.io import mibf_format
+
+    st, py, hashes = build_pair(n=80, h=3, seed=5)
+    m, counts = mibf_construct.get_empty_mibf(st)
+    m, counts = mibf_construct.insert_mibf(m, counts,
+                                           u64.from_numpy(hashes), 6)
+    m = mibf.saturate(m, u64.from_numpy(hashes[:4]))
+    p = str(tmp_path / "f.mibf")
+    mibf_format.store_mibf(m, p)
+    m2 = mibf_format.load_mibf(p)
+    assert (m2.size, m2.hash_num, m2.kmer_size, m2.d_size) == \
+           (m.size, m.hash_num, m.kmer_size, m.d_size)
+    np.testing.assert_array_equal(np.asarray(m2.bv_words),
+                                  np.asarray(m.bv_words))
+    np.testing.assert_array_equal(np.asarray(m2.data), np.asarray(m.data))
+    np.testing.assert_array_equal(np.asarray(m2.cum_ranks),
+                                  np.asarray(m.cum_ranks))
+    # store again: byte-stable
+    p2 = str(tmp_path / "g.mibf")
+    mibf_format.store_mibf(m2, p2)
+    assert open(p, "rb").read() == open(p2, "rb").read()
+    assert open(p + ".sdsl", "rb").read() == open(p2 + ".sdsl", "rb").read()
+
+
+def test_mibf_store_with_seeds(tmp_path):
+    from btl_bloomfilter_tpu.io import mibf_format
+
+    hashes = rand_hashes(40, 2, 8)
+    st = mibf_construct.BitVectorState(
+        bv_words=jnp.zeros(2048 // 32, jnp.uint32), filter_size=2048,
+        kmer_size=9, hash_num=2, occupancy=0.5,
+        sseeds=("110110111", "111010011"))
+    st = mibf_construct.insert_bv(st, u64.from_numpy(hashes))
+    m, counts = mibf_construct.get_empty_mibf(st)
+    p = str(tmp_path / "s.mibf")
+    mibf_format.store_mibf(m, p)
+    m2 = mibf_format.load_mibf(p)
+    assert tuple(m2.sseeds) == ("110110111", "111010011")
+    # header layout: hlen must be 32 + 2*9
+    import struct
+    raw = open(p, "rb").read()
+    magic, hlen, dsz, nh, km, ver = struct.unpack_from("<8sIQIII", raw, 0)
+    assert magic == b"MIBLOOMF" and hlen == 32 + 18 and ver == 1
