@@ -48,6 +48,8 @@ def cpp_baseline():
 
 
 def tpu_rate():
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -58,21 +60,26 @@ def tpu_rate():
     codes = jnp.asarray(rng.integers(0, 4, size=(B, L), dtype=np.uint8))
     bf = bloom.create(SIZE, H, K)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def step(words, codes):
         frames = nthash.hash_frames(codes, K, H)
         state = bloom.BloomFilter(words=words, size=SIZE, hash_num=H,
                                   kmer_size=K)
         return bloom.insert(state, frames.hashes, frames.valid).words
 
+    def drain(w):
+        # On the remote-TPU platform block_until_ready does not actually
+        # block; a 1-element device->host read of the chained result does.
+        return int(jnp.sum(w[:1]))
+
     words = bf.words
     words = step(words, codes)  # compile + warm
-    jax.block_until_ready(words)
+    drain(words)
 
     t0 = time.perf_counter()
     for _ in range(REPS):
         words = step(words, codes)
-    jax.block_until_ready(words)
+    drain(words)
     dt = time.perf_counter() - t0
 
     kmers = B * (L - K + 1) * REPS
