@@ -125,17 +125,36 @@ def insert(bf: BloomFilter, hashes: U64, valid=None) -> BloomFilter:
     valid=False contribute nothing, mirroring the iterator's N-skip)."""
     flat = U64(hashes.hi.reshape(-1), hashes.lo.reshape(-1))
     r = u64.mod_const(flat, bf.size)
+    nwords = bf.words.shape[0]
     if valid is not None:
         v = jnp.broadcast_to(jnp.asarray(valid)[..., None],
                              hashes.hi.shape).reshape(-1)
-        # route invalid entries to an out-of-range position -> dropped scatter
-        oob_hi = jnp.uint32((bf.size >> 32) + 1)
-        r = U64(jnp.where(v, r.hi, oob_hi), r.lo)
-    hi_s, lo_s, keep = _dedupe_mask_sorted(r.hi, r.lo)
-    word = ((hi_s << 27) | (lo_s >> 5)).astype(jnp.int32)
-    mask = jnp.where(keep, jnp.uint32(1) << (lo_s & 31), jnp.uint32(0))
-    nwords = bf.words.shape[0]
-    word = jnp.where(word < nwords, word, nwords)  # oob => dropped
+    else:
+        v = None
+
+    # fast path: positions fit one limb -> single-key sort. (At exactly
+    # size == 2**32 the sentinel would collide with a real position when a
+    # valid mask is present; use the 2-key path there.)
+    if bf.size < (1 << 32) or (bf.size == (1 << 32) and v is None):
+        sent = jnp.uint32(0xFFFFFFFF)
+        pos = r.lo
+        if v is not None:
+            pos = jnp.where(v, pos, sent)
+        pos_s = jnp.sort(pos)
+        keep = jnp.ones(pos_s.shape, bool).at[1:].set(pos_s[1:] != pos_s[:-1])
+        if v is not None:
+            keep = keep & (pos_s != sent)
+        word = jnp.where(keep, (pos_s >> 5).astype(jnp.int32),
+                         jnp.int32(nwords))
+        mask = jnp.where(keep, jnp.uint32(1) << (pos_s & 31), jnp.uint32(0))
+    else:
+        if v is not None:
+            oob_hi = jnp.uint32((bf.size >> 32) + 1)
+            r = U64(jnp.where(v, r.hi, oob_hi), r.lo)
+        hi_s, lo_s, keep = _dedupe_mask_sorted(r.hi, r.lo)
+        word = ((hi_s << 27) | (lo_s >> 5)).astype(jnp.int32)
+        word = jnp.where(keep & (word < nwords), word, nwords)
+        mask = jnp.where(keep, jnp.uint32(1) << (lo_s & 31), jnp.uint32(0))
     delta = jnp.zeros(nwords, jnp.uint32).at[word].add(
         mask, mode="drop", indices_are_sorted=True)
     return dataclasses.replace(bf, words=bf.words | delta)

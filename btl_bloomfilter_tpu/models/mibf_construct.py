@@ -195,9 +195,11 @@ def insert_mibf(m: MIBloomFilter, counts: jax.Array, hashes: U64, id_value: int,
         (1 << width_bits) - 1)
 
     # std::hash<T>(v ^ id): identity after truncation to T
-    # (MIBFConstructSupport.hpp:122-125; libstdc++ integral hash)
-    vx_lo = lo_o ^ jnp.uint32(id_value & 0xFFFFFFFF)
-    vx_hi = hi_o ^ jnp.uint32((id_value >> 32) & 0xFFFFFFFF)
+    # (MIBFConstructSupport.hpp:122-125; libstdc++ integral hash).
+    # IDs are T-width (< 2**32) so only the low limb is affected;
+    # id_value may be a python int or a traced scalar.
+    id32 = jnp.asarray(id_value, jnp.uint32)
+    vx_lo = lo_o ^ id32
     if width_bits >= 32:
         hval = vx_lo  # T is uint32: low limb
     else:
@@ -223,7 +225,7 @@ def insert_mibf(m: MIBloomFilter, counts: jax.Array, hashes: U64, id_value: int,
     winner = accepted & (seg_max[group_start] == idx)
 
     ranks_to_set = jnp.where(winner, rank_o, jnp.int32(m.d_size))
-    ids = jnp.full(n, id_value, m.data.dtype)
+    ids = jnp.full(n, 0, m.data.dtype) + jnp.asarray(id_value, m.data.dtype)
     m = mibf_mod.set_data(m, ranks_to_set, ids)
 
     # counts[rank] += group_size for each touched rank (wraps in T)

@@ -23,6 +23,7 @@ from a zero table per read, which is equivalent.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from functools import partial
 from typing import List, Optional, Sequence
@@ -290,12 +291,20 @@ class MIBFQuerySupport:
     sat_count: int = 0
     eval_count: int = 0
 
+    _jit_cache: dict = dataclasses.field(default_factory=dict)
+
     def _run(self, frame_rank, frame_hit, frame_valid, frame_misses,
              min_count_vec):
         num_ids = len(self.per_frame_prob)
-        out = query_scan(self.m, frame_rank, frame_hit, frame_valid,
-                         frame_misses, jnp.asarray(min_count_vec, jnp.int32),
-                         num_ids, self.extra_frame_limit)
+        key = (frame_rank.shape, num_ids)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                query_scan, num_ids=num_ids,
+                extra_frame_limit=self.extra_frame_limit))
+            self._jit_cache[key] = fn
+        out = fn(self.m, frame_rank, frame_hit, frame_valid,
+                 frame_misses, jnp.asarray(min_count_vec, jnp.int32))
         self.sat_count = int(out["sat_count"])
         self.eval_count = int(out["eval_count"])
         return summarize(np.asarray(out["counts"]),

@@ -27,3 +27,14 @@ def force_cpu(host_device_count: int | None = None) -> None:
 
 def default_backend() -> str:
     return jax.default_backend()
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist compiled executables across processes (compiles over the
+    remote-TPU tunnel take minutes; reruns then load from disk)."""
+    import os
+
+    path = path or os.path.expanduser("~/.cache/jax_btl_bloomfilter")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -124,3 +124,23 @@ def test_saturating_add_allreduce(mesh):
                    out_specs=P(mesh_lib.AXIS))
     out = np.asarray(fn(x))
     assert (out == 255).all()  # 8*40=320 clamped to 255
+
+
+def test_dp_counting_insert_all_matches_single(mesh):
+    from btl_bloomfilter_tpu.models import counting
+    from btl_bloomfilter_tpu.parallel import dist_counting
+
+    codes = rand_codes(16, 50, seed=8)
+    k, h = 9, 3
+    cbf1 = counting.create(256, h, k, 1, counter_width=1)
+    f = nthash.hash_frames(jnp.asarray(codes), k, h)
+    cbf1 = counting.insert_all(cbf1, f.hashes, f.valid)
+
+    cbf2 = counting.create(256, h, k, 1, counter_width=1)
+    cbf2 = dist_counting.dp_insert_all_seq(mesh, cbf2, codes)
+    np.testing.assert_array_equal(np.asarray(cbf1.counters),
+                                  np.asarray(cbf2.counters))
+
+    hits, valid = dist_counting.dp_contains_seq(mesh, cbf2, codes)
+    expect = np.asarray(counting.contains(cbf1, f.hashes) & f.valid)
+    np.testing.assert_array_equal(np.asarray(hits), expect)

@@ -15,8 +15,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
+from btl_bloomfilter_tpu import native
 from btl_bloomfilter_tpu.io import bf_format, fasta
 from btl_bloomfilter_tpu.models import kmer_bloom
+from btl_bloomfilter_tpu.utils import platform
+
+platform.enable_compilation_cache()
 
 
 def main():
@@ -32,9 +36,9 @@ def main():
     query = jax.jit(kmer_bloom.contains_seq)
 
     total = hits = 0
-    for batch in fasta.batch_fasta(args.fasta, args.batch, args.pad,
-                                   bf.kmer_size):
-        found, valid = query(bf, batch.codes)
+    for codes in native.FastaReader(args.fasta, args.batch, args.pad,
+                                    bf.kmer_size):
+        found, valid = query(bf, codes)
         found = np.asarray(found)
         valid = np.asarray(valid)
         total += int(valid.sum())

@@ -18,8 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+from btl_bloomfilter_tpu import native
 from btl_bloomfilter_tpu.io import bf_format, fasta
 from btl_bloomfilter_tpu.models import bloom, kmer_bloom
+from btl_bloomfilter_tpu.utils import platform
+
+platform.enable_compilation_cache()
 
 
 def main():
@@ -48,8 +52,8 @@ def main():
 
     t0 = time.time()
     nbatches = 0
-    for batch in fasta.batch_fasta(args.fasta, args.batch, args.pad, args.k):
-        bf = insert(bf, batch.codes)
+    for codes in native.FastaReader(args.fasta, args.batch, args.pad, args.k):
+        bf = insert(bf, codes)
         nbatches += 1
     jax.block_until_ready(bf.words)
     dt = time.time() - t0
