@@ -86,10 +86,79 @@ def tpu_rate():
     return kmers / dt
 
 
+def query_rates():
+    """Secondary metrics (stderr): classic query + blocked insert/query."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from btl_bloomfilter_tpu.models import blocked, bloom
+    from btl_bloomfilter_tpu.ops import nthash
+
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 4, size=(B, L), dtype=np.uint8))
+    kmers = B * (L - K + 1)
+
+    def timed(fn, *args, reps=5):
+        r = fn(*args)
+        int(jnp.sum(jax.tree_util.tree_leaves(r)[0].ravel()[:1]))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn(*args)
+        int(jnp.sum(jax.tree_util.tree_leaves(r)[0].ravel()[:1]))
+        return kmers * reps / (time.perf_counter() - t0)
+
+    out = {}
+    bf = bloom.create(SIZE, H, K)
+
+    @jax.jit
+    def classic_query(words, codes):
+        f = nthash.hash_frames(codes, K, H)
+        st = bloom.BloomFilter(words=words, size=SIZE, hash_num=H,
+                               kmer_size=K)
+        return bloom.contains(st, f.hashes) & f.valid
+
+    out["classic_query_kmers_per_s"] = timed(classic_query, bf.words, codes)
+
+    bbf = blocked.create(SIZE, H, K)
+
+    @jax.jit
+    def blocked_insert(rows, codes):
+        f = nthash.hash_frames(codes, K, H)
+        st = blocked.BlockedBloomFilter(rows=rows, size=SIZE, hash_num=H,
+                                        kmer_size=K)
+        return blocked.insert_frames(st, f).rows
+
+    @jax.jit
+    def blocked_query(rows, codes):
+        f = nthash.hash_frames(codes, K, H)
+        st = blocked.BlockedBloomFilter(rows=rows, size=SIZE, hash_num=H,
+                                        kmer_size=K)
+        return blocked.contains_frames(st, f)
+
+    rows = blocked_insert(bbf.rows, codes)
+    out["blocked_insert_kmers_per_s"] = timed(blocked_insert, rows, codes)
+    out["blocked_query_kmers_per_s"] = timed(blocked_query, rows, codes)
+    return out
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="also measure query + blocked-filter rates (stderr)")
+    args = ap.parse_args()
+
     rate = tpu_rate()
     base = cpp_baseline()
     vs = rate / base if base else None
+    if args.full:
+        extras = query_rates()
+        extras["cpp_single_core_insert_kmers_per_s"] = base
+        print(json.dumps({k: round(v, 1) for k, v in extras.items()
+                          if v is not None}), file=sys.stderr)
     print(json.dumps({
         "metric": "kmer_inserts_per_s",
         "value": round(rate, 1),

@@ -47,9 +47,12 @@ class HashPipeline:
         fn = self._cache.get(bucket)
         if fn is None:
             if self.seed_strings:
+                # h is the TOTAL hash count = n_seeds * hashes-per-seed
+                # (stHashIterator layout, stHashIterator.hpp:157-160)
+                m2 = max(1, self.h // len(self.seed_strings))
                 fn = jax.jit(functools.partial(
                     seeds.spaced_hash_frames,
-                    seed_strings=self.seed_strings, m2=self.h))
+                    seed_strings=self.seed_strings, m2=m2))
             else:
                 fn = jax.jit(functools.partial(
                     nthash.hash_frames, k=self.k, h=self.h))

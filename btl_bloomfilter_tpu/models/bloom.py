@@ -179,6 +179,45 @@ def insert_and_check(bf: BloomFilter, hashes: U64, valid=None):
     return insert(bf, hashes, valid), found
 
 
+def insert_and_check_sequential(bf: BloomFilter, hashes: U64, valid=None):
+    """Sequentially-exact insertAndCheck (BloomFilter.hpp:200-213): each
+    frame reports whether all its bits were already set at *its own* insert
+    time, so a duplicate later in the batch reports True. Runs as a
+    lax.scan; use the batched ``insert_and_check`` when in-batch duplicate
+    ordering does not matter."""
+    h = hashes.hi.shape[-1]
+    r = u64.mod_const(U64(hashes.hi.reshape(-1, h),
+                          hashes.lo.reshape(-1, h)), bf.size)
+    if bf.size > (1 << 32):
+        raise NotImplementedError("sequential check requires size <= 2**32")
+    pos = r.lo
+    if valid is None:
+        v = jnp.ones(pos.shape[0], bool)
+    else:
+        v = jnp.broadcast_to(jnp.asarray(valid),
+                             hashes.hi.shape[:-1]).reshape(-1)
+
+    def step(words, inp):
+        p, ok = inp
+        word = (p >> 5).astype(jnp.int32)
+        bit = p & 31
+        cur = words[word]
+        found = jnp.all(((cur >> bit) & 1) == 1)
+        # combine masks of slots sharing a word so the duplicate-index
+        # scatter writes identical values
+        maskbit = jnp.uint32(1) << bit
+        same = word[None, :] == word[:, None]
+        comb = cur
+        for j in range(h):
+            comb = comb | jnp.where(same[:, j], maskbit[j], 0)
+        newwords = words.at[word].set(jnp.where(ok, comb, cur))
+        return newwords, found & ok
+
+    words, found = jax.lax.scan(step, bf.words, (pos, v))
+    return dataclasses.replace(bf, words=words), \
+        found.reshape(hashes.hi.shape[:-1])
+
+
 def get_pop(bf: BloomFilter) -> jax.Array:
     """Number of set bits (BloomFilter.hpp:316-323)."""
     return jnp.sum(jax.lax.population_count(bf.words).astype(jnp.uint32))

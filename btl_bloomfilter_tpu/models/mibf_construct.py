@@ -115,8 +115,14 @@ def insert_bv_colli(state: BitVectorState, hashes: U64, valid=None):
         cur = words[word]
         already = ((cur >> bit) & 1) == 1
         colli = jnp.all(already)
-        newwords = words.at[word].set(
-            jnp.where(ok, cur | (jnp.uint32(1) << bit), cur))
+        # combine masks of slots sharing a word: a duplicate-index scatter
+        # must write identical values to be well-defined
+        maskbit = jnp.uint32(1) << bit
+        same = word[None, :] == word[:, None]
+        comb = cur
+        for j in range(h):
+            comb = comb | jnp.where(same[:, j], maskbit[j], 0)
+        newwords = words.at[word].set(jnp.where(ok, comb, cur))
         count = count + jnp.where(ok & colli, 1, 0)
         return (newwords, count), None
 

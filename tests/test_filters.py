@@ -232,3 +232,14 @@ def test_cbf_popcounts():
     cbf = counting.insert_all(cbf, u64.from_numpy(hashes))
     assert int(counting.pop_count(cbf)) == 4
     assert int(counting.filtered_pop_count(cbf)) == 2
+
+
+def test_bf_insert_and_check_sequential():
+    """In-batch duplicate must report found=True (sequential semantics)."""
+    hashes = np.array([[5, 9], [5, 9], [7, 11]], dtype=np.uint64)
+    bf = bloom.create(4096, 2, 4)
+    bf, found = bloom.insert_and_check_sequential(bf, u64.from_numpy(hashes))
+    assert list(np.asarray(found)) == [False, True, False]
+    # resulting filter identical to the batched insert
+    bf2 = bloom.insert(bloom.create(4096, 2, 4), u64.from_numpy(hashes))
+    np.testing.assert_array_equal(np.asarray(bf.words), np.asarray(bf2.words))

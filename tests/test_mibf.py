@@ -250,3 +250,25 @@ def test_mibf_store_with_seeds(tmp_path):
     raw = open(p, "rb").read()
     magic, hlen, dsz, nh, km, ver = struct.unpack_from("<8sIQIII", raw, 0)
     assert magic == b"MIBLOOMF" and hlen == 32 + 18 and ver == 1
+
+
+def test_insert_bv_colli():
+    size, h = 2048, 3
+    st = mibf_construct.BitVectorState(
+        bv_words=jnp.zeros(size // 32, jnp.uint32), filter_size=size,
+        kmer_size=9, hash_num=h, occupancy=0.5, sseeds=())
+    hashes = rand_hashes(50, h, 21)
+    dup = np.concatenate([hashes, hashes[:10]])  # re-inserted frames collide
+    st2, count = mibf_construct.insert_bv_colli(st, u64.from_numpy(dup))
+    # python model
+    bits = np.zeros(size, bool)
+    expect = 0
+    for row in dup:
+        pos = (row % np.uint64(size)).astype(int)
+        if bits[pos].all():
+            expect += 1
+        bits[pos] = True
+    assert int(count) == expect
+    got = np.unpackbits(np.asarray(st2.bv_words).view(np.uint8),
+                        bitorder="little")[:size]
+    np.testing.assert_array_equal(got, bits)

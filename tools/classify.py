@@ -14,9 +14,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from btl_bloomfilter_tpu import api
 from btl_bloomfilter_tpu.io import fasta, mibf_format
 from btl_bloomfilter_tpu.models import mibf, mibf_query
-from btl_bloomfilter_tpu.ops import nthash, nthash_tables, seeds
+from btl_bloomfilter_tpu.ops import nthash_tables
+from btl_bloomfilter_tpu.utils import platform
+
+platform.enable_compilation_cache()
 
 
 def main():
@@ -51,15 +55,13 @@ def main():
     mc = np.full(num_ids, args.min_count, np.int32)
 
     k, h = m.kmer_size, m.hash_num
+    hp = api.HashPipeline(k, h, tuple(m.sseeds))
     for header, seq in fasta.read_fasta(args.fasta):
         codes = nthash_tables.encode_seq(seq)
-        if len(codes) < k:
+        fr = hp.frames(codes)
+        if fr is None:
             print(f"{header}\t*\tshort")
             continue
-        if m.sseeds:
-            fr = seeds.spaced_hash_frames(codes, list(m.sseeds), m2=h)
-        else:
-            fr = nthash.hash_frames(codes, k, h)
         res = qs.query(fr.hashes, np.asarray(fr.valid), mc)
         if not res:
             print(f"{header}\t*\tunclassified")
