@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from btl_bloomfilter_tpu.utils import platform as _platform
+
+_platform.enable_compilation_cache()
+
 K, H = 31, 4
 SIZE = 1 << 30
 B, L = 512, 2048

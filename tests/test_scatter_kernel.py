@@ -1,0 +1,70 @@
+"""MXU-histogram scatter kernel vs the XLA scatter path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from btl_bloomfilter_tpu.kernels import scatter_or
+
+
+def xla_reference(words, pos_sorted):
+    keep = jnp.ones(pos_sorted.shape, bool).at[1:].set(
+        pos_sorted[1:] != pos_sorted[:-1])
+    keep = keep & (pos_sorted != jnp.uint32(0xFFFFFFFF))
+    word = jnp.where(keep, (pos_sorted >> 5).astype(jnp.int32),
+                     words.shape[0])
+    mask = jnp.where(keep, jnp.uint32(1) << (pos_sorted & 31), jnp.uint32(0))
+    delta = jnp.zeros_like(words).at[word].add(mask, mode="drop",
+                                               indices_are_sorted=True)
+    return words | delta
+
+
+def dedup_sorted(pos):
+    pos = np.sort(pos)
+    keep = np.ones(len(pos), bool)
+    keep[1:] = pos[1:] != pos[:-1]
+    out = np.full(len(pos), 0xFFFFFFFF, np.uint32)
+    out[: keep.sum()] = pos[keep]
+    return out
+
+
+@pytest.mark.parametrize("n,size_bits,seed", [
+    (2000, scatter_or.WIN_WORDS * 32 * 4, 0),   # uniform, few chunks
+    (5000, scatter_or.WIN_WORDS * 32, 1),       # all within one window span
+    (700, scatter_or.WIN_WORDS * 32 * 8, 2),    # sparse
+])
+def test_kernel_matches_xla(n, size_bits, seed):
+    rng = np.random.default_rng(seed)
+    pos = dedup_sorted(rng.integers(0, size_bits, size=n, dtype=np.uint32))
+    nwords = size_bits // 32
+    words = jnp.asarray(rng.integers(0, 1 << 32, size=nwords, dtype=np.uint32))
+
+    expect = np.asarray(xla_reference(words, jnp.asarray(pos)))
+    got, overflow = scatter_or.scatter_or_sorted(words, jnp.asarray(pos),
+                                                 interpret=True)
+    if int(overflow) == 0:
+        np.testing.assert_array_equal(np.asarray(got), expect)
+    else:
+        # overflow fallback: re-applying everything must reach the target
+        got2 = xla_reference(got, jnp.asarray(pos))
+        np.testing.assert_array_equal(np.asarray(got2), expect)
+
+
+def test_kernel_overflow_detected():
+    # adversarial: positions clustered far apart inside one chunk
+    nwords = scatter_or.WIN_WORDS * 8
+    size_bits = nwords * 32
+    pos = np.concatenate([
+        np.arange(100, dtype=np.uint32),                      # low cluster
+        np.arange(size_bits - 100, size_bits, dtype=np.uint32),  # high
+    ])
+    pos = dedup_sorted(pos)
+    words = jnp.zeros(nwords, jnp.uint32)
+    got, overflow = scatter_or.scatter_or_sorted(words, jnp.asarray(pos),
+                                                 interpret=True)
+    assert int(overflow) > 0
+    # fallback completes the job
+    final = xla_reference(got, jnp.asarray(pos))
+    expect = np.asarray(xla_reference(words, jnp.asarray(pos)))
+    np.testing.assert_array_equal(np.asarray(final), expect)
