@@ -93,24 +93,41 @@ def _kernel(bases_ref, pos_ref, words_hbm, out_hbm, over_ref,
 
 
 def scatter_or_sorted(words: jax.Array, pos_sorted: jax.Array,
+                      pos_for_base: jax.Array | None = None,
                       interpret: bool = False):
     """OR deduped, sorted bit positions into `words` (uint32[nwords]).
 
-    Returns (new_words, overflow_count). `nwords` must be a multiple of 64
-    and at least WIN_WORDS. Positions use 0xFFFFFFFF as padding sentinel.
-    Caller must re-apply `overflow_count` > 0 batches via the XLA path.
+    Returns (new_words, overflow_count). `words` of any length is accepted
+    (padded internally to the lane multiple / minimum window size).
+    Positions use 0xFFFFFFFF as padding sentinel.
+    `pos_for_base` (optional) supplies the array chunk window bases are
+    derived from: pass the sorted positions *before* duplicates were
+    replaced with sentinels, so a chunk whose first slot is a sentinel
+    still gets a base <= all its live positions. Caller must re-apply
+    `overflow_count` > 0 batches via the XLA path.
     """
     n = pos_sorted.shape[0]
     nchunks = pl.cdiv(n, CHUNK)
     npad = nchunks * CHUNK - n
+    if pos_for_base is None:
+        pos_for_base = pos_sorted
     if npad:
         pos_sorted = jnp.concatenate(
             [pos_sorted, jnp.full(npad, _SENT, jnp.uint32)])
+        pos_for_base = jnp.concatenate(
+            [pos_for_base, jnp.full(npad, _SENT, jnp.uint32)])
+    nwords_orig = words.shape[0]
+    # pad the word array to the lane multiple / minimum window size (bit
+    # positions are < 32*nwords_orig, so padding words never receive bits)
+    wpad = max(-nwords_orig % _WLO, WIN_WORDS - nwords_orig)
+    if wpad > 0:
+        wpad += -(nwords_orig + wpad) % _WLO
+        words = jnp.concatenate([words, jnp.zeros(wpad, jnp.uint32)])
     nwords = words.shape[0]
 
     # per-chunk window base: 64-aligned word of the first live position,
     # clamped so the window stays in bounds
-    first = pos_sorted[:: CHUNK]
+    first = pos_for_base[:: CHUNK]
     base = jnp.where(first == _SENT, 0, (first >> 5)).astype(jnp.int32)
     base = jnp.minimum(base & ~jnp.int32(_WLO - 1), nwords - WIN_WORDS)
     base = jnp.maximum(base, 0)
@@ -144,4 +161,4 @@ def scatter_or_sorted(words: jax.Array, pos_sorted: jax.Array,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(base, pos_sorted, words.reshape(nwords // _WLO, _WLO))
-    return out.reshape(nwords), jnp.sum(over)
+    return out.reshape(nwords)[:nwords_orig], jnp.sum(over)

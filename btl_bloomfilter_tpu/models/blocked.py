@@ -30,6 +30,7 @@ import numpy as np
 
 from ..ops import nthash, u64
 from ..ops.u64 import U64
+from . import bloom
 
 BLOCK_BITS = 512
 WORDS_PER_BLOCK = BLOCK_BITS // 32
@@ -105,11 +106,8 @@ def insert(bf: BlockedBloomFilter, canon: U64, valid=None
     keep = jnp.ones(pos_s.shape, bool).at[1:].set(pos_s[1:] != pos_s[:-1])
     keep = keep & (pos_s != jnp.uint32(0xFFFFFFFF))
     nwords = bf.nblocks * WORDS_PER_BLOCK
-    word = jnp.where(keep, (pos_s >> 5).astype(jnp.int32), nwords)
-    mask = jnp.where(keep, jnp.uint32(1) << (pos_s & 31), jnp.uint32(0))
     flat = bf.rows.reshape(-1)
-    delta = jnp.zeros_like(flat).at[word].add(mask, mode="drop",
-                                              indices_are_sorted=True)
+    delta = bloom.sorted_delta_words(pos_s, keep, nwords)
     return dataclasses.replace(
         bf, rows=(flat | delta).reshape(bf.rows.shape))
 

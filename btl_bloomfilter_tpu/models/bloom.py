@@ -115,14 +115,49 @@ def _dedupe_mask_sorted(hi: jax.Array, lo: jax.Array):
     return hi_s, lo_s, keep
 
 
+def sorted_delta_words(pos_s: jax.Array, keep: jax.Array,
+                       nwords: int) -> jax.Array:
+    """Bit-delta words from SORTED uint32 positions with a keep mask.
+
+    The word-index array handed to the scatter must be *genuinely*
+    monotone when promising ``indices_are_sorted=True``: the TPU backend's
+    sorted-scatter lowering silently drops most updates if dropped slots
+    are redirected to an out-of-bounds index interleaved mid-array
+    (measured: 250K of 4.1M bits survived). So duplicates/sentinels keep
+    their position-derived word (monotone since pos_s is sorted) and
+    contribute a zero mask instead — adding 0 is a no-op even when a
+    sentinel's word (0x07FFFFFF) happens to be in bounds."""
+    word = (pos_s >> 5).astype(jnp.int32)
+    mask = jnp.where(keep, jnp.uint32(1) << (pos_s & 31), jnp.uint32(0))
+    return jnp.zeros(nwords, jnp.uint32).at[word].add(
+        mask, mode="drop", indices_are_sorted=True)
+
+
 # ---------------------------------------------------------------------------
 # core ops
 # ---------------------------------------------------------------------------
 
-def insert(bf: BloomFilter, hashes: U64, valid=None) -> BloomFilter:
+def _kernel_eligible(bf: BloomFilter) -> bool:
+    """Use the Mosaic MXU scatter kernel when the filter is big enough for
+    the window walk, positions fit one limb, and we are on a TPU backend
+    (Pallas Mosaic does not lower on CPU outside interpret mode)."""
+    from ..kernels import scatter_or as _so
+    nwords = bf.words.shape[0]
+    # below one window the XLA scatter is cheap and the kernel's fixed
+    # costs (window DMA per chunk) cannot win
+    return (bf.size < (1 << 32) and nwords >= _so.WIN_WORDS
+            and jax.default_backend() != "cpu")
+
+
+def insert(bf: BloomFilter, hashes: U64, valid=None,
+           use_kernel: bool | None = None) -> BloomFilter:
     """Insert a batch of frames. ``hashes`` is U64[..., h]; ``valid`` is an
     optional bool mask broadcastable to hashes.shape[:-1] (frames with
-    valid=False contribute nothing, mirroring the iterator's N-skip)."""
+    valid=False contribute nothing, mirroring the iterator's N-skip).
+
+    On TPU, large filters route through the Mosaic MXU-histogram scatter
+    kernel (kernels/scatter_or.py, ~1.75x the XLA scatter end-to-end);
+    ``use_kernel`` forces the choice (None = auto)."""
     flat = U64(hashes.hi.reshape(-1), hashes.lo.reshape(-1))
     r = u64.mod_const(flat, bf.size)
     nwords = bf.words.shape[0]
@@ -144,19 +179,36 @@ def insert(bf: BloomFilter, hashes: U64, valid=None) -> BloomFilter:
         keep = jnp.ones(pos_s.shape, bool).at[1:].set(pos_s[1:] != pos_s[:-1])
         if v is not None:
             keep = keep & (pos_s != sent)
-        word = jnp.where(keep, (pos_s >> 5).astype(jnp.int32),
-                         jnp.int32(nwords))
-        mask = jnp.where(keep, jnp.uint32(1) << (pos_s & 31), jnp.uint32(0))
+        if use_kernel is None:
+            use_kernel = _kernel_eligible(bf) and bf.size < (1 << 32)
+        if use_kernel:
+            from ..kernels import scatter_or as _so
+            pos_d = jnp.where(keep, pos_s, sent)
+            out, over = _so.scatter_or_sorted(bf.words, pos_d,
+                                              pos_for_base=pos_s)
+            # rare window-overflow fallback: re-apply the (idempotent)
+            # whole batch through the XLA scatter
+            out = jax.lax.cond(
+                over > 0,
+                lambda w: w | sorted_delta_words(pos_s, keep, nwords),
+                lambda w: w, out)
+            return dataclasses.replace(bf, words=out)
+        delta = sorted_delta_words(pos_s, keep, nwords)
     else:
         if v is not None:
             oob_hi = jnp.uint32((bf.size >> 32) + 1)
             r = U64(jnp.where(v, r.hi, oob_hi), r.lo)
         hi_s, lo_s, keep = _dedupe_mask_sorted(r.hi, r.lo)
-        word = ((hi_s << 27) | (lo_s >> 5)).astype(jnp.int32)
-        word = jnp.where(keep & (word < nwords), word, nwords)
+        # keep the word-index array monotone (see sorted_delta_words):
+        # invalid frames carry oob_hi > any valid hi, so they sort to the
+        # tail and map to nwords there without breaking monotonicity;
+        # duplicates keep their position-derived word with a zero mask.
+        wordu = (hi_s << 27) | (lo_s >> 5)
+        word = jnp.where(hi_s > jnp.uint32(bf.size >> 32), jnp.int32(nwords),
+                         wordu.astype(jnp.int32))
         mask = jnp.where(keep, jnp.uint32(1) << (lo_s & 31), jnp.uint32(0))
-    delta = jnp.zeros(nwords, jnp.uint32).at[word].add(
-        mask, mode="drop", indices_are_sorted=True)
+        delta = jnp.zeros(nwords, jnp.uint32).at[word].add(
+            mask, mode="drop", indices_are_sorted=True)
     return dataclasses.replace(bf, words=bf.words | delta)
 
 

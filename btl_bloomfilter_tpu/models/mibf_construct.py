@@ -37,6 +37,7 @@ import numpy as np
 from ..ops import u64
 from ..ops.u64 import U64
 from ..utils import stdcpp
+from . import bloom as bloom_mod
 from . import mibf as mibf_mod
 from .mibf import MIBloomFilter
 
@@ -74,10 +75,7 @@ def _scatter_or_bits(words: jax.Array, pos: jax.Array, valid: jax.Array):
     p_s = jnp.sort(p.reshape(-1))
     keep = jnp.ones(p_s.shape, bool).at[1:].set(p_s[1:] != p_s[:-1])
     keep = keep & (p_s != sent)
-    word = jnp.where(keep, (p_s >> 5).astype(jnp.int32), words.shape[0])
-    mask = jnp.where(keep, jnp.uint32(1) << (p_s & 31), jnp.uint32(0))
-    delta = jnp.zeros_like(words).at[word].add(mask, mode="drop",
-                                               indices_are_sorted=True)
+    delta = bloom_mod.sorted_delta_words(p_s, keep, words.shape[0])
     return words | delta
 
 

@@ -168,11 +168,7 @@ def sharded_insert_frames(mesh: Mesh, sbf: ShardedBloomFilter, hashes: U64,
         pos_s = jnp.sort(local_pos)
         keep = jnp.ones(pos_s.shape, bool).at[1:].set(pos_s[1:] != pos_s[:-1])
         keep = keep & (pos_s != sent)
-        word = jnp.where(keep, (pos_s >> 5).astype(jnp.int32),
-                         jnp.int32(words.shape[-1]))
-        maskb = jnp.where(keep, jnp.uint32(1) << (pos_s & 31), jnp.uint32(0))
-        delta = jnp.zeros_like(words[0]).at[word].add(
-            maskb, mode="drop", indices_are_sorted=True)
+        delta = bloom.sorted_delta_words(pos_s, keep, words.shape[-1])
         return (words[0] | delta)[None], overflow[None]
 
     if sbf.size > (1 << 32):

@@ -25,6 +25,15 @@ def force_cpu(host_device_count: int | None = None) -> None:
     jax.config.update("jax_platforms", "cpu")
 
 
+def apply_env() -> None:
+    """Honor ``BTL_PLATFORM=cpu`` (the hosting TPU plugin overrides the
+    ``JAX_PLATFORMS`` env var, so the CLIs call this explicitly)."""
+    import os
+
+    if os.environ.get("BTL_PLATFORM", "").lower() == "cpu":
+        force_cpu()
+
+
 def default_backend() -> str:
     return jax.default_backend()
 

@@ -22,6 +22,7 @@ from btl_bloomfilter_tpu.models import mibf, mibf_construct
 from btl_bloomfilter_tpu.ops import nthash_tables
 from btl_bloomfilter_tpu.utils import platform
 
+platform.apply_env()
 platform.enable_compilation_cache()
 
 

@@ -20,6 +20,7 @@ from btl_bloomfilter_tpu.io import bf_format, fasta
 from btl_bloomfilter_tpu.models import kmer_bloom
 from btl_bloomfilter_tpu.utils import platform
 
+platform.apply_env()
 platform.enable_compilation_cache()
 
 

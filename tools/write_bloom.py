@@ -23,6 +23,7 @@ from btl_bloomfilter_tpu.io import bf_format, fasta
 from btl_bloomfilter_tpu.models import bloom, kmer_bloom
 from btl_bloomfilter_tpu.utils import platform
 
+platform.apply_env()
 platform.enable_compilation_cache()
 
 
