@@ -1,0 +1,136 @@
+"""Mosaic kernel: gather filter words at sorted bit positions via the MXU.
+
+The query-side twin of kernels/scatter_or.py. XLA lowers gather on TPU to a
+~serial per-element loop (~15 ns/element measured, docs/PERFORMANCE.md);
+for the Bloom `contains` hot path that is ~63 ms per 4.1M positions. This
+kernel walks SORTED positions in chunks, DMAs one 64 KB window of the word
+array into VMEM per chunk, and selects each position's word with one-hot
+matmuls instead of scalar loads:
+
+    row_c[lo]  = sum_hi onehot_hi[c, hi] * win[hi, lo]      (MXU)
+    word_c     = sum_lo onehot_lo[c, lo] * row_c[lo]        (VPU reduce)
+
+Window words are split into four 8-bit quarters: the TPU MXU computes f32
+matmuls as single-pass bf16 by default, which is exact only for integer
+operands below 2**8 (bf16 has an 8-bit significand). One-hot entries and
+byte values are bf16-exact, and the f32 accumulator sums a single nonzero
+product per output, so four quarter-matmuls reconstruct the exact word.
+(Measured on hardware: a 16-bit-half split silently truncates and loses
+~3% of set bits.)
+
+Positions must be SORTED (duplicates are fine for a gather); padding is
+the 0xFFFFFFFF sentinel, which yields word 0. Positions falling outside a
+chunk's window are counted in the overflow output and yield word 0; the
+caller re-runs the batch through the XLA gather when overflow > 0 (rare:
+windows are ~4x the expected chunk span of a uniform hash stream).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .scatter_or import CHUNK, WIN_WORDS, _SENT, _WHI, _WLO
+
+
+def _kernel(bases_ref, pos_ref, words_hbm, out_ref, over_ref,
+            win, sem_in):
+    c = pl.program_id(0)
+    base = bases_ref[c]                       # word base, multiple of 128
+    row = base // _WLO
+    read = pltpu.make_async_copy(
+        words_hbm.at[pl.ds(row, _WHI), :], win, sem_in)
+    read.start()
+
+    pos = pos_ref[...]                        # [CHUNK] uint32, sorted
+    live = pos != _SENT
+    word = (pos >> 5).astype(jnp.int32)
+    local = word - base                       # window-relative word index
+    in_win = live & (local >= 0) & (local < WIN_WORDS)
+    over_ref[c] = jnp.sum((live & ~in_win).astype(jnp.int32))
+
+    lw = jnp.where(in_win, local, 0)          # safe index for the one-hots
+    hi = lw // _WLO                           # [CHUNK] in [0, _WHI)
+    lo = lw % _WLO
+
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _WHI), 1)
+    a = (hi[:, None] == iota_hi).astype(jnp.bfloat16)         # [C, WHI]
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _WLO), 1)
+    sel_lo = (lo[:, None] == iota_lo).astype(jnp.float32)     # [C, WLO]
+
+    read.wait()
+    w = win[...]
+    dims = (((1,), (0,)), ((), ()))
+    val = jnp.uint32(0)
+    for q in range(4):
+        # Mosaic lacks uint32<->float casts; bytes fit int32. Explicit
+        # bf16 operands force single-pass MXU matmuls (f32 inputs get a
+        # slower multi-pass lowering); bytes and one-hots are bf16-exact
+        # and the MXU accumulates in f32, so the result is exact.
+        w_q = ((w >> (8 * q)) & jnp.uint32(0xFF)
+               ).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        r_q = jax.lax.dot_general(a, w_q, dims,
+                                  preferred_element_type=jnp.float32)
+        v_q = jnp.sum(r_q * sel_lo, axis=1).astype(jnp.int32)  # [CHUNK]
+        val = val | (v_q.astype(jnp.uint32) << (8 * q))
+    out_ref[...] = jnp.where(in_win, val, jnp.uint32(0))
+
+
+def gather_words_sorted(words: jax.Array, pos_sorted: jax.Array,
+                        interpret: bool = False):
+    """Gather `words[pos >> 5]` for SORTED uint32 bit positions.
+
+    Returns (vals uint32[n], overflow_count). `words` of any length is
+    accepted (padded to the lane multiple / minimum window size).
+    Sentinel (0xFFFFFFFF) and window-overflow positions yield 0; the
+    caller must re-run via the XLA gather when overflow_count > 0.
+    """
+    n = pos_sorted.shape[0]
+    nchunks = pl.cdiv(n, CHUNK)
+    npad = nchunks * CHUNK - n
+    if npad:
+        pos_sorted = jnp.concatenate(
+            [pos_sorted, jnp.full(npad, _SENT, jnp.uint32)])
+    nwords_orig = words.shape[0]
+    wpad = max(-nwords_orig % _WLO, WIN_WORDS - nwords_orig)
+    if wpad > 0:
+        wpad += -(nwords_orig + wpad) % _WLO
+        words = jnp.concatenate([words, jnp.zeros(wpad, jnp.uint32)])
+    nwords = words.shape[0]
+
+    first = pos_sorted[:: CHUNK]
+    base = jnp.where(first == _SENT, 0, (first >> 5)).astype(jnp.int32)
+    base = jnp.minimum(base & ~jnp.int32(_WLO - 1), nwords - WIN_WORDS)
+    base = jnp.maximum(base, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(int(nchunks),),
+        in_specs=[
+            pl.BlockSpec((CHUNK,), lambda c, bases: (c,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),     # words (HBM)
+        ],
+        out_specs=(
+            pl.BlockSpec((CHUNK,), lambda c, bases: (c,),
+                         memory_space=pltpu.VMEM),  # gathered words
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-chunk overflow
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_WHI, _WLO), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    vals, over = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((int(nchunks) * CHUNK,), jnp.uint32),
+            jax.ShapeDtypeStruct((int(nchunks),), jnp.int32),
+        ),
+        interpret=interpret,
+    )(base, pos_sorted, words.reshape(nwords // _WLO, _WLO))
+    return vals[:n], jnp.sum(over)

@@ -212,10 +212,35 @@ def insert(bf: BloomFilter, hashes: U64, valid=None,
     return dataclasses.replace(bf, words=bf.words | delta)
 
 
-def contains(bf: BloomFilter, hashes: U64) -> jax.Array:
+def contains(bf: BloomFilter, hashes: U64,
+             use_kernel: bool | None = None) -> jax.Array:
     """Membership test for a batch of frames: hashes U64[..., h] ->
-    bool[...]. Equivalent to BloomFilter.hpp:252-262 (all h bits set)."""
-    word, mask, _ = bit_positions(hashes, bf.size)
+    bool[...]. Equivalent to BloomFilter.hpp:252-262 (all h bits set).
+
+    On TPU, large filters route through the Mosaic windowed gather kernel
+    (kernels/gather_words.py): sort positions carrying their flat index,
+    gather words window-wise on the MXU, then un-sort the extracted bits
+    with a second (packed single-key) sort. ``use_kernel`` forces the
+    choice (None = auto)."""
+    word, mask, r = bit_positions(hashes, bf.size)
+    if use_kernel is None:
+        use_kernel = _kernel_eligible(bf)
+    if use_kernel and bf.size < (1 << 32):
+        from ..kernels import gather_words as _gw
+        pos = r.lo.reshape(-1)
+        n = pos.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        pos_s, idx_s = jax.lax.sort((pos, idx), num_keys=1)
+        vals_s, over = _gw.gather_words_sorted(bf.words, pos_s)
+        bit_s = (vals_s >> (pos_s & 31)) & 1
+        # un-sort: pack (index, bit) into one key so the sort is single-op
+        bit = jnp.sort((idx_s.astype(jnp.uint32) << 1) | bit_s) & 1
+        hit_k = jnp.all(bit.reshape(hashes.hi.shape) == 1, axis=-1)
+        # rare window-overflow fallback: recompute via the XLA gather
+        return jax.lax.cond(
+            over > 0,
+            lambda: jnp.all((bf.words[word] & mask) == mask, axis=-1),
+            lambda: hit_k)
     got = bf.words[word]
     hit = (got & mask) == mask
     return jnp.all(hit, axis=-1)

@@ -37,15 +37,25 @@ def test_bits_within_one_block():
     assert touched[0] == int(np.asarray(block)[0])
 
 
-def test_mask_rows_match_manual():
-    bits = jnp.asarray(np.array([[0, 31, 32, 511]], dtype=np.uint32))
-    rows = blocked._mask_rows(bits)
-    row = np.asarray(rows)[0]
-    expect = np.zeros(16, np.uint32)
-    expect[0] |= 1 | (1 << 31)
-    expect[1] |= 1
-    expect[15] |= 1 << 31
-    np.testing.assert_array_equal(row, expect)
+def test_contains_word_boundary_bits():
+    """The lane-select probe must hit bits at word boundaries (0, 31, 32,
+    511) of the block — exercised by a hand-built single-block filter."""
+    bf = blocked.create(1 << 14, 4, 21)
+    canon = u64.from_numpy(np.array([987654321987654321], dtype=np.uint64))
+    block, bits = blocked._block_and_bits(bf, canon)
+    b = int(np.asarray(block)[0])
+    rows = np.zeros((bf.nblocks, 16), np.uint32)
+    for bit in np.asarray(bits)[0]:
+        rows[b, bit >> 5] |= np.uint32(1) << (bit & 31)
+    bf = blocked.BlockedBloomFilter(rows=jnp.asarray(rows), size=bf.size,
+                                    hash_num=4, kmer_size=21)
+    assert bool(np.asarray(blocked.contains(bf, canon))[0])
+    # clearing any one probed bit must turn the query negative
+    bit0 = int(np.asarray(bits)[0][0])
+    rows[b, bit0 >> 5] &= ~(np.uint32(1) << (bit0 & 31))
+    bf2 = blocked.BlockedBloomFilter(rows=jnp.asarray(rows), size=bf.size,
+                                     hash_num=4, kmer_size=21)
+    assert not bool(np.asarray(blocked.contains(bf2, canon))[0])
 
 
 def test_valid_mask():

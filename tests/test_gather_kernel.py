@@ -1,0 +1,111 @@
+"""Interpret-mode tests for the Mosaic windowed gather kernel."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from btl_bloomfilter_tpu.kernels import gather_words, scatter_or
+from btl_bloomfilter_tpu.models import bloom
+from btl_bloomfilter_tpu.ops.u64 import U64
+
+
+def expected_windows(pos, nwords_padded):
+    """Replicate the wrapper's per-chunk window bases in numpy; return the
+    in-window mask per position."""
+    C, W = scatter_or.CHUNK, scatter_or.WIN_WORDS
+    wlo = 128
+    npad = -len(pos) % C
+    p = np.concatenate([pos, np.full(npad, 0xFFFFFFFF, np.uint32)])
+    first = p[::C]
+    base = np.where(first == 0xFFFFFFFF, 0,
+                    first >> np.uint32(5)).astype(np.int64)
+    base = np.minimum(base & ~np.int64(wlo - 1), nwords_padded - W)
+    base = np.maximum(base, 0)
+    local = (p.astype(np.int64) >> 5) - np.repeat(base, C)
+    in_win = (p != 0xFFFFFFFF) & (local >= 0) & (local < W)
+    return in_win[:len(pos)]
+
+
+@pytest.mark.parametrize("n,size_bits,seed", [
+    (2000, scatter_or.WIN_WORDS * 32 * 4, 0),        # uniform, few chunks
+    (5000, scatter_or.WIN_WORDS * 32, 1),            # one window span
+    (700, scatter_or.WIN_WORDS * 32 * 8, 2),         # sparse (overflows)
+    (900, scatter_or.WIN_WORDS * 32 + 64 * 37, 3),   # unaligned word count
+    (300, 64 * 11, 4),                               # tiny filter (padded)
+])
+def test_gather_matches_xla(n, size_bits, seed):
+    rng = np.random.default_rng(seed)
+    nwords = (size_bits + 31) // 32
+    words = jnp.asarray(rng.integers(0, 1 << 32, size=nwords,
+                                     dtype=np.uint32))
+    pos = np.sort(rng.integers(0, size_bits, size=n, dtype=np.uint32))
+    # duplicates allowed for a gather
+    pos[10:14] = pos[9]
+    pos = np.sort(pos)
+
+    nwords_padded = nwords + max(-nwords % 128,
+                                 scatter_or.WIN_WORDS - nwords)
+    nwords_padded += -nwords_padded % 128
+    in_win = expected_windows(pos, nwords_padded)
+    expect = np.where(in_win, np.asarray(words)[pos >> 5], 0)
+
+    vals, over = gather_words.gather_words_sorted(
+        words, jnp.asarray(pos), interpret=True)
+    assert int(over) == int((~in_win).sum())
+    np.testing.assert_array_equal(np.asarray(vals), expect)
+
+
+def test_gather_sentinels_yield_zero():
+    nwords = scatter_or.WIN_WORDS
+    words = jnp.asarray(
+        np.random.default_rng(0).integers(1, 1 << 32, size=nwords,
+                                          dtype=np.uint32))
+    pos = np.full(1500, 0xFFFFFFFF, np.uint32)
+    pos[:10] = np.arange(10, dtype=np.uint32) * 32
+    vals, over = gather_words.gather_words_sorted(
+        words, jnp.asarray(pos), interpret=True)
+    assert int(over) == 0
+    np.testing.assert_array_equal(np.asarray(vals[:10]),
+                                  np.asarray(words)[:10])
+    assert (np.asarray(vals[10:]) == 0).all()
+
+
+def test_gather_overflow_detected():
+    # two clusters farther apart than one window inside one chunk
+    nwords = scatter_or.WIN_WORDS * 8
+    size_bits = nwords * 32
+    pos = np.concatenate([
+        np.arange(100, dtype=np.uint32),
+        np.full(100, size_bits - 64, np.uint32),
+    ])
+    words = jnp.ones(nwords, jnp.uint32)
+    vals, over = gather_words.gather_words_sorted(
+        words, jnp.asarray(np.sort(pos)), interpret=True)
+    assert int(over) > 0
+
+
+def test_contains_kernel_path_matches_xla_path():
+    rng = np.random.default_rng(5)
+    size = scatter_or.WIN_WORDS * 32  # smallest kernel-eligible filter
+    bf = bloom.create(size, 4, 31)
+    hashes = U64(
+        jnp.asarray(rng.integers(0, 1 << 32, size=(48, 6, 4),
+                                 dtype=np.uint32)),
+        jnp.asarray(rng.integers(0, 1 << 32, size=(48, 6, 4),
+                                 dtype=np.uint32)))
+    bf = bloom.insert(bf, U64(hashes.hi[:24], hashes.lo[:24]),
+                      use_kernel=False)
+
+    ref = bloom.contains(bf, hashes, use_kernel=False)
+    orig = gather_words.gather_words_sorted
+    try:
+        gather_words.gather_words_sorted = functools.partial(
+            orig, interpret=True)
+        got = bloom.contains(bf, hashes, use_kernel=True)
+    finally:
+        gather_words.gather_words_sorted = orig
+    assert bool(jnp.all(ref[:24]))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
