@@ -67,6 +67,17 @@ class HashPipeline:
         bucket = bucket_length(len(codes), max(64, self.k))
         return self._fn(bucket)(pad_codes(np.asarray(codes), bucket))
 
+    def frames_batch(self, codes_list):
+        """Hash a batch of sequences in one dispatch: pads every read to
+        the length bucket of the longest and stacks to [R, bucket]. Padded
+        tails (and reads shorter than k) hash as non-ACGT, so their
+        windows come back invalid."""
+        bucket = bucket_length(max(len(c) for c in codes_list),
+                               max(64, self.k))
+        stacked = np.stack([pad_codes(np.asarray(c), bucket)
+                            for c in codes_list])
+        return self._fn(bucket)(stacked)
+
 
 class BloomPipeline:
     """Fused hash+insert / hash+query with one compile per length bucket."""

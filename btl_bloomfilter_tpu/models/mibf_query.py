@@ -197,6 +197,21 @@ def query_scan(m: MIBloomFilter, frame_rank: jax.Array, frame_hit: jax.Array,
             "sat_count": satc, "eval_count": evalc}
 
 
+def query_scan_batch(m: MIBloomFilter, frame_rank: jax.Array,
+                     frame_hit: jax.Array, frame_valid: jax.Array,
+                     frame_misses: jax.Array, min_count: jax.Array,
+                     num_ids: int, extra_frame_limit: int):
+    """vmap of :func:`query_scan` over a batch of reads (leading R axis on
+    the frame arrays). One dispatch classifies R reads; count tables are
+    [R, num_ids, 6]. Semantics per read are identical to the sequential
+    engine (the scan carry is per-read)."""
+    return jax.vmap(
+        functools.partial(query_scan, num_ids=num_ids,
+                          extra_frame_limit=extra_frame_limit),
+        in_axes=(None, 0, 0, 0, 0, None))(
+        m, frame_rank, frame_hit, frame_valid, frame_misses, min_count)
+
+
 # ---------------------------------------------------------------------------
 # host-side summarize (MIBFQuerySupport.hpp:555-596)
 # ---------------------------------------------------------------------------
@@ -327,6 +342,34 @@ class MIBFQuerySupport:
         U64[W, h]; valid marks iterator-yielded frames."""
         rank, hit, usable, misses = self._prep(hashes, valid)
         return self._run(rank, hit, usable, misses, min_count_vec)
+
+    def query_many(self, hashes: U64, valid, min_count_vec
+                   ) -> List[List[QueryResult]]:
+        """Batched multi-read query: hashes U64[R, W, h], valid bool[R, W].
+        One device dispatch runs the per-frame engine for all R reads
+        (per-read semantics identical to :meth:`query`); the candidate
+        ranking runs host-side per read. Returns one result list per
+        read."""
+        rank, hit, usable, misses = self._prep(hashes, valid)
+        num_ids = len(self.per_frame_prob)
+        key = ("batch", rank.shape, num_ids)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                query_scan_batch, num_ids=num_ids,
+                extra_frame_limit=self.extra_frame_limit))
+            self._jit_cache[key] = fn
+        out = fn(self.m, rank, hit, usable, misses,
+                 jnp.asarray(min_count_vec, jnp.int32))
+        counts = np.asarray(out["counts"])
+        cands = np.asarray(out["candidates"])
+        bests = np.asarray(out["best"])
+        self.sat_count = int(np.sum(np.asarray(out["sat_count"])))
+        self.eval_count = int(np.sum(np.asarray(out["eval_count"])))
+        return [summarize(counts[r], cands[r], bests[r],
+                          self.per_frame_prob, self.min_count,
+                          self.extra_count, self.best_hit_agree)
+                for r in range(rank.shape[0])]
 
     def query_paired(self, hashes1: U64, valid1, hashes2: U64, valid2,
                      min_count_vec) -> List[QueryResult]:

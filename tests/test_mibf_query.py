@@ -218,3 +218,46 @@ def test_paired_query_runs():
         u64.from_numpy(hashes[100:120]), np.ones(20, bool),
         u64.from_numpy(hashes[120:150]), np.ones(30, bool), mc)
     assert res and res[0].id == 3
+
+
+def test_query_many_matches_per_read():
+    m, hashes = build_filter()
+    num_ids = 5
+    pfp = [0.0] + [0.1] * (num_ids - 1)
+    qs = mibf_query.MIBFQuerySupport(
+        m=m, per_frame_prob=pfp, extra_count=2.0, extra_frame_limit=10**6,
+        max_miss=0, min_count=1, best_hit_agree=False)
+    mc = np.full(num_ids, 1, np.int32)
+
+    # three "reads" with different frame subsets + one all-invalid dummy
+    reads = [list(range(0, 50)), list(range(60, 95)), list(range(100, 150))]
+    W = 50
+    R = len(reads) + 1
+    hi = np.zeros((R, W), np.uint32)
+    lo = np.zeros((R, W), np.uint32)
+    valid = np.zeros((R, W), bool)
+    h = m.hash_num
+    frames_u64 = []
+    for r, idxs in enumerate(reads):
+        fr = hashes[idxs]
+        valid[r, : len(idxs)] = True
+        frames_u64.append(fr)
+    maxw = W
+    hi4 = np.zeros((R, maxw, h), np.uint32)
+    lo4 = np.zeros((R, maxw, h), np.uint32)
+    for r, fr in enumerate(frames_u64):
+        u = u64.from_numpy(fr)
+        hi4[r, : fr.shape[0]] = np.asarray(u.hi)
+        lo4[r, : fr.shape[0]] = np.asarray(u.lo)
+    batched = u64.U64(jnp.asarray(hi4), jnp.asarray(lo4))
+
+    got = qs.query_many(batched, jnp.asarray(valid), mc)
+    assert len(got) == R
+    assert got[-1] == []  # dummy read classifies to nothing
+    for r, idxs in enumerate(reads):
+        one = qs.query(u64.from_numpy(hashes[idxs]),
+                       np.ones(len(idxs), bool), mc)
+        # per-read query uses W=len(idxs); batched pads with invalid frames
+        assert [q.id for q in one] == [q.id for q in got[r]]
+        for a, b in zip(one, got[r]):
+            assert dataclasses_equal(a, b)

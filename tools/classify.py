@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--max-miss", type=int, default=0)
     ap.add_argument("--extra-frame-limit", type=int, default=10**6)
     ap.add_argument("--best-hit-agree", action="store_true")
+    ap.add_argument("--batch", type=int, default=64,
+                    help="reads classified per device dispatch")
     args = ap.parse_args()
 
     m = mibf_format.load_mibf(args.mibf)
@@ -57,13 +59,7 @@ def main():
 
     k, h = m.kmer_size, m.hash_num
     hp = api.HashPipeline(k, h, tuple(m.sseeds))
-    for header, seq in fasta.read_fasta(args.fasta):
-        codes = nthash_tables.encode_seq(seq)
-        fr = hp.frames(codes)
-        if fr is None:
-            print(f"{header}\t*\tshort")
-            continue
-        res = qs.query(fr.hashes, np.asarray(fr.valid), mc)
+    def emit(header, res):
         if not res:
             print(f"{header}\t*\tunclassified")
         else:
@@ -72,6 +68,41 @@ def main():
             print(f"{header}\t{r.id}\t{name}\tnsf={r.non_sat_frame_count}"
                   f"\tcount={r.count}\tsolid={r.solid_count}"
                   f"\tprob={r.frame_prob:.3g}")
+
+    def flush(batch):
+        if not batch:
+            return
+        headers, codes_list = zip(*batch)
+        # pad the read axis to the fixed batch size with all-N dummy reads
+        # (their frames are invalid) so each length bucket compiles once
+        codes_list = list(codes_list)
+        ndummy = args.batch - len(codes_list)
+        if ndummy > 0:
+            codes_list += [np.full(1, nthash_tables.CODE_N, np.uint8)
+                           ] * ndummy
+        fr = hp.frames_batch(codes_list)
+        for header, res in zip(headers, qs.query_many(
+                fr.hashes, np.asarray(fr.valid), mc)):
+            emit(header, res)
+        batch.clear()
+
+    # batch reads (grouped by length bucket to bound padding waste) and
+    # classify each batch in one device dispatch
+    batch, batch_bucket = [], None
+    for header, seq in fasta.read_fasta(args.fasta):
+        codes = nthash_tables.encode_seq(seq)
+        if len(codes) < k:
+            print(f"{header}\t*\tshort")
+            continue
+        bucket = api.bucket_length(len(codes), max(64, k))
+        if batch_bucket is not None and (bucket != batch_bucket
+                                         or len(batch) >= args.batch):
+            flush(batch)
+            batch_bucket = None
+        if batch_bucket is None:
+            batch_bucket = bucket
+        batch.append((header, codes))
+    flush(batch)
 
 
 if __name__ == "__main__":
