@@ -171,18 +171,80 @@ def insert_and_check(cbf: CountingBloomFilter, hashes: U64, valid=None):
     return insert(cbf, hashes, valid), found
 
 
-def insert_all(cbf: CountingBloomFilter, hashes: U64, valid=None) -> CountingBloomFilter:
+def _counters_per_word(cbf: CountingBloomFilter) -> int:
+    return {1: 4, 2: 2, 4: 1, 8: 1}[cbf.counter_width]
+
+
+def _as_u32_words(cbf: CountingBloomFilter) -> jax.Array:
+    per = _counters_per_word(cbf)
+    if per == 1:
+        return cbf.counters
+    return jax.lax.bitcast_convert_type(
+        cbf.counters.reshape(-1, per), jnp.uint32)
+
+
+def _from_u32_words(words: jax.Array, cbf: CountingBloomFilter) -> jax.Array:
+    per = _counters_per_word(cbf)
+    if per == 1:
+        return words
+    return jax.lax.bitcast_convert_type(
+        words, cbf.counters.dtype).reshape(-1)
+
+
+def _kernel_eligible(cbf: CountingBloomFilter) -> bool:
+    from ..kernels import scatter_or as _so
+    nwords = cbf.size // _counters_per_word(cbf)
+    return (cbf.size < (1 << 31) and nwords >= _so.WIN_WORDS
+            and jax.default_backend() != "cpu")
+
+
+def insert_all(cbf: CountingBloomFilter, hashes: U64, valid=None,
+               use_kernel: bool | None = None) -> CountingBloomFilter:
     """Vectorized incrementAll (CountingBloomFilter.hpp:165-183): every
     counter addressed by every frame is incremented once per occurrence,
     saturating at the counter max. Order-independent => single scatter-add.
-    """
+
+    On TPU, large filters route through the Mosaic saturating histogram
+    kernel (kernels/scatter_add.py): counter indices are sorted and
+    histogrammed window-wise on the MXU into the packed uint32 view of
+    the counter array; window-overflow indices are re-applied through
+    the XLA scatter-add under a lax.cond. ``use_kernel`` forces the
+    choice (None = auto)."""
     pos = _positions(cbf, hashes).reshape(-1)
     if valid is not None:
         v = jnp.broadcast_to(jnp.asarray(valid)[..., None],
                              hashes.hi.shape).reshape(-1)
-        ones = v.astype(jnp.uint32)
     else:
-        ones = jnp.ones(pos.shape, jnp.uint32)
+        v = None
+    if use_kernel is None:
+        use_kernel = _kernel_eligible(cbf)
+    if use_kernel:
+        from ..kernels import scatter_add as _sa
+        sent = jnp.uint32(0xFFFFFFFF)
+        p = pos.astype(jnp.uint32)
+        if v is not None:
+            p = jnp.where(v, p, sent)
+        p_s = jnp.sort(p)
+        words, ovf = _sa.scatter_add_sorted(
+            _as_u32_words(cbf), p_s, _counters_per_word(cbf),
+            cbf.counter_max)
+        counters = _from_u32_words(words, cbf)
+
+        def reapply(cs):
+            # index with uint32: the 0xFFFFFFFF sentinel stays out of
+            # bounds and is dropped (an int32 cast would wrap -1 to the
+            # last counter)
+            occ = jnp.zeros((cbf.size,), jnp.uint32).at[ovf].add(
+                1, mode="drop")
+            wide = jnp.minimum(cs.astype(jnp.uint32) + occ,
+                               jnp.uint32(cbf.counter_max))
+            return wide.astype(cs.dtype)
+
+        counters = jax.lax.cond(jnp.any(ovf != sent), reapply,
+                                lambda cs: cs, counters)
+        return dataclasses.replace(cbf, counters=counters)
+    ones = jnp.ones(pos.shape, jnp.uint32) if v is None \
+        else v.astype(jnp.uint32)
     occ = jnp.zeros((cbf.size,), jnp.uint32).at[pos].add(ones, mode="drop")
     wide = cbf.counters.astype(jnp.uint32) + occ  # may exceed counter max
     # counts can't overflow uint32 here unless batch >= 2**32 entries
