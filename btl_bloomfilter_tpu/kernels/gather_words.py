@@ -79,6 +79,123 @@ def _kernel(bases_ref, pos_ref, words_hbm, out_ref, over_ref,
     out_ref[...] = jnp.where(in_win, val, jnp.uint32(0))
 
 
+def _kernel2(bases_ref, pos_ref, wa_hbm, wb_hbm, outa_ref, outb_ref,
+             over_ref, wina, winb, sem_a, sem_b):
+    """Two-array variant: gather the same word index from two equally-sized
+    arrays in one window walk (MIBF rank queries read the bv word and its
+    cumulative popcount at the same index). The sort, window DMA schedule,
+    and one-hot selector matmul operands are all shared."""
+    c = pl.program_id(0)
+    base = bases_ref[c]
+    row = base // _WLO
+    read_a = pltpu.make_async_copy(
+        wa_hbm.at[pl.ds(row, _WHI), :], wina, sem_a)
+    read_a.start()
+    read_b = pltpu.make_async_copy(
+        wb_hbm.at[pl.ds(row, _WHI), :], winb, sem_b)
+    read_b.start()
+
+    pos = pos_ref[...]
+    live = pos != _SENT
+    word = (pos >> 5).astype(jnp.int32)
+    local = word - base
+    in_win = live & (local >= 0) & (local < WIN_WORDS)
+    over_ref[c] = jnp.sum((live & ~in_win).astype(jnp.int32))
+
+    lw = jnp.where(in_win, local, 0)
+    hi = lw // _WLO
+    lo = lw % _WLO
+
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _WHI), 1)
+    a = (hi[:, None] == iota_hi).astype(jnp.bfloat16)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _WLO), 1)
+    sel_lo = (lo[:, None] == iota_lo).astype(jnp.float32)
+
+    dims = (((1,), (0,)), ((), ()))
+
+    def extract(w):
+        val = jnp.uint32(0)
+        for q in range(4):
+            w_q = ((w >> (8 * q)) & jnp.uint32(0xFF)
+                   ).astype(jnp.int32).astype(jnp.float32
+                                              ).astype(jnp.bfloat16)
+            r_q = jax.lax.dot_general(a, w_q, dims,
+                                      preferred_element_type=jnp.float32)
+            v_q = jnp.sum(r_q * sel_lo, axis=1).astype(jnp.int32)
+            val = val | (v_q.astype(jnp.uint32) << (8 * q))
+        return jnp.where(in_win, val, jnp.uint32(0))
+
+    read_a.wait()
+    outa_ref[...] = extract(wina[...])
+    read_b.wait()
+    outb_ref[...] = extract(winb[...])
+
+
+def gather_words_pair_sorted(words_a: jax.Array, words_b: jax.Array,
+                             pos_sorted: jax.Array,
+                             interpret: bool = False):
+    """Gather `words_a[pos >> 5]` and `words_b[pos >> 5]` for SORTED uint32
+    bit positions in one kernel pass. Same contract as
+    :func:`gather_words_sorted`; the two arrays must have equal length."""
+    assert words_a.shape == words_b.shape
+    n = pos_sorted.shape[0]
+    nchunks = pl.cdiv(n, CHUNK)
+    npad = nchunks * CHUNK - n
+    if npad:
+        pos_sorted = jnp.concatenate(
+            [pos_sorted, jnp.full(npad, _SENT, jnp.uint32)])
+    nwords_orig = words_a.shape[0]
+    wpad = max(-nwords_orig % _WLO, WIN_WORDS - nwords_orig)
+    if wpad > 0:
+        wpad += -(nwords_orig + wpad) % _WLO
+        zpad = jnp.zeros(wpad, jnp.uint32)
+        words_a = jnp.concatenate([words_a, zpad])
+        words_b = jnp.concatenate([words_b, zpad])
+    nwords = words_a.shape[0]
+
+    first = pos_sorted[:: CHUNK]
+    base = jnp.where(first == _SENT, 0, (first >> 5)).astype(jnp.int32)
+    base = jnp.minimum(base & ~jnp.int32(_WLO - 1), nwords - WIN_WORDS)
+    base = jnp.maximum(base, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(int(nchunks),),
+        in_specs=[
+            pl.BlockSpec((CHUNK,), lambda c, bases: (c,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),     # words_a (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),     # words_b (HBM)
+        ],
+        out_specs=(
+            pl.BlockSpec((CHUNK,), lambda c, bases: (c,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK,), lambda c, bases: (c,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-chunk overflow
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_WHI, _WLO), jnp.uint32),
+            pltpu.VMEM((_WHI, _WLO), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    va, vb, over = pl.pallas_call(
+        _kernel2,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((int(nchunks) * CHUNK,), jnp.uint32),
+            jax.ShapeDtypeStruct((int(nchunks) * CHUNK,), jnp.uint32),
+            jax.ShapeDtypeStruct((int(nchunks),), jnp.int32),
+        ),
+        interpret=interpret,
+    )(base, pos_sorted,
+      words_a.reshape(nwords // _WLO, _WLO),
+      words_b.reshape(nwords // _WLO, _WLO))
+    return va[:n], vb[:n], jnp.sum(over)
+
+
 def gather_words_sorted(words: jax.Array, pos_sorted: jax.Array,
                         interpret: bool = False):
     """Gather `words[pos >> 5]` for SORTED uint32 bit positions.

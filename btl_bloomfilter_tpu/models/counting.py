@@ -118,16 +118,61 @@ def _positions(cbf: CountingBloomFilter, hashes: U64) -> jax.Array:
 # queries
 # ---------------------------------------------------------------------------
 
-def min_count(cbf: CountingBloomFilter, hashes: U64) -> jax.Array:
+def _gather_kernel_eligible(cbf: CountingBloomFilter) -> bool:
+    """Use the Mosaic windowed gather kernel for counter reads when the
+    packed uint32 view spans at least one kernel window and counter bit
+    positions fit uint32 (nwords*32 <= 2**32)."""
+    from ..kernels import scatter_or as _so
+    nwords = cbf.size // _counters_per_word(cbf)
+    return (nwords <= (1 << 27) and nwords >= _so.WIN_WORDS
+            and jax.default_backend() != "cpu")
+
+
+def gather_counters_kernel(cbf: CountingBloomFilter, pos: jax.Array):
+    """Gather counters[pos] through the windowed gather kernel: bitcast
+    the counter plane to uint32 words, address each counter by its bit
+    position (sub-word counters ride the same lane-extract the Bloom
+    query uses), sort/gather/un-sort. Returns (counts uint32[pos.shape],
+    overflow_count)."""
+    from ..kernels import gather_words as _gw
+    per = _counters_per_word(cbf)
+    bits = 32 // per
+    flat = pos.reshape(-1).astype(jnp.uint32) * jnp.uint32(bits)
+    idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    p_s, idx_s = jax.lax.sort((flat, idx), num_keys=1)
+    w_s, over = _gw.gather_words_sorted(_as_u32_words(cbf), p_s)
+    elmask = jnp.uint32((1 << bits) - 1 if bits < 32 else 0xFFFFFFFF)
+    v_s = (w_s >> (p_s & 31)) & elmask
+    _, v = jax.lax.sort((idx_s, v_s), num_keys=1)
+    return v.reshape(pos.shape), over
+
+
+def min_count(cbf: CountingBloomFilter, hashes: U64,
+              use_kernel: bool | None = None) -> jax.Array:
     """Minimum of the h counters per frame (CountingBloomFilter.hpp:54-64).
-    hashes U64[..., h] -> counts[...]."""
+    hashes U64[..., h] -> counts[...].
+
+    On TPU, large filters route the counter gathers through the Mosaic
+    windowed gather kernel; ``use_kernel`` forces the choice (None =
+    auto). Window-overflow batches recompute via the XLA gather."""
     pos = _positions(cbf, hashes)
-    return jnp.min(cbf.counters[pos], axis=-1)
+    if use_kernel is None:
+        # same fixed-cost crossover as mibf.at_rank (bench/mibf_probe.py)
+        use_kernel = _gather_kernel_eligible(cbf) and pos.size >= (1 << 21)
+    if not use_kernel:
+        return jnp.min(cbf.counters[pos], axis=-1)
+    vals, over = gather_counters_kernel(cbf, pos)
+    mn_k = jnp.min(vals, axis=-1).astype(cbf.counters.dtype)
+    return jax.lax.cond(
+        over > 0,
+        lambda: jnp.min(cbf.counters[pos], axis=-1),
+        lambda: mn_k)
 
 
-def contains(cbf: CountingBloomFilter, hashes: U64) -> jax.Array:
-    return min_count(cbf, hashes) >= jnp.asarray(cbf.count_threshold,
-                                                 cbf.counters.dtype)
+def contains(cbf: CountingBloomFilter, hashes: U64,
+             use_kernel: bool | None = None) -> jax.Array:
+    return min_count(cbf, hashes, use_kernel) >= jnp.asarray(
+        cbf.count_threshold, cbf.counters.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -176,19 +221,37 @@ def _counters_per_word(cbf: CountingBloomFilter) -> int:
 
 
 def _as_u32_words(cbf: CountingBloomFilter) -> jax.Array:
+    """Pack the counter plane into little-endian uint32 words.
+
+    Built from 1-D strided slices + shifts: a ``reshape(-1, per)`` bitcast
+    materializes a [nwords, per] temp whose minor dim the TPU tiles to 128
+    lanes — a 32x padding blow-up (16 GB for a 128 MB uint8 plane,
+    measured)."""
     per = _counters_per_word(cbf)
     if per == 1:
         return cbf.counters
-    return jax.lax.bitcast_convert_type(
-        cbf.counters.reshape(-1, per), jnp.uint32)
+    bits = 32 // per
+    c = cbf.counters.astype(jnp.uint32)
+    w = c[0::per]
+    for j in range(1, per):
+        w = w | (c[j::per] << jnp.uint32(bits * j))
+    return w
 
 
 def _from_u32_words(words: jax.Array, cbf: CountingBloomFilter) -> jax.Array:
+    """Unpack uint32 words back to the counter plane (1-D strided writes;
+    see _as_u32_words for why not a bitcast+reshape)."""
     per = _counters_per_word(cbf)
     if per == 1:
         return words
-    return jax.lax.bitcast_convert_type(
-        words, cbf.counters.dtype).reshape(-1)
+    bits = 32 // per
+    mask = jnp.uint32((1 << bits) - 1)
+    out = jnp.empty(cbf.size, cbf.counters.dtype)
+    for j in range(per):
+        out = out.at[j::per].set(
+            ((words >> jnp.uint32(bits * j)) & mask).astype(
+                cbf.counters.dtype))
+    return out
 
 
 def _kernel_eligible(cbf: CountingBloomFilter) -> bool:

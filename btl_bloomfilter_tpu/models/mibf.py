@@ -133,11 +133,65 @@ def rank_of_positions(mibf: MIBloomFilter, pos: jax.Array):
     return rank.astype(jnp.int32), hit
 
 
-def at_rank(mibf: MIBloomFilter, hashes: U64):
+def _kernel_eligible(mibf: MIBloomFilter) -> bool:
+    """Route rank queries through the Mosaic windowed gather kernel when
+    the bit vector spans at least one kernel window, positions fit one
+    limb, and we are on a TPU backend (same gating as bloom.contains)."""
+    from ..kernels import scatter_or as _so
+    return (mibf.size < (1 << 32) and mibf.d_size < (1 << 31)
+            and mibf.bv_words.shape[0] >= _so.WIN_WORDS
+            and jax.default_backend() != "cpu")
+
+
+def rank_of_positions_kernel(mibf: MIBloomFilter, pos_flat: jax.Array):
+    """Windowed-gather rank lookup for flat uint32 positions.
+
+    Classification's hot gathers — the bv word and its exclusive
+    cumulative popcount — are both indexed by ``pos >> 5``, so one sort
+    of the positions feeds one dual-array kernel pass that DMAs each
+    window of both arrays once and reuses the one-hot selectors. The
+    un-sort packs (rank << 1 | hit) into a single payload word (ranks
+    fit 31 bits per _kernel_eligible). Returns (rank int32[n],
+    hit bool[n], overflow_count); the caller must fall back to
+    :func:`rank_of_positions` when overflow_count > 0."""
+    from ..kernels import gather_words as _gw
+    n = pos_flat.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pos_s, idx_s = jax.lax.sort((pos_flat, idx), num_keys=1)
+    w_s, c_s, over = _gw.gather_words_pair_sorted(
+        mibf.bv_words, mibf.cum_ranks, pos_s)
+    bit = pos_s & 31
+    before = w_s & ((jnp.uint32(1) << bit) - 1)
+    rank_s = c_s + jax.lax.population_count(before)
+    hit_s = (w_s >> bit) & 1
+    packed_s = (rank_s << 1) | hit_s
+    _, packed = jax.lax.sort((idx_s, packed_s), num_keys=1)
+    return (packed >> 1).astype(jnp.int32), (packed & 1) == 1, over
+
+
+def at_rank(mibf: MIBloomFilter, hashes: U64,
+            use_kernel: bool | None = None):
     """Batch equivalent of atRank (MIBloomFilter.hpp:478-515): for hashes
-    U64[..., h] returns (rank int32[..., h], hit bool[..., h])."""
+    U64[..., h] returns (rank int32[..., h], hit bool[..., h]).
+
+    On TPU, large filters route the two rank gathers through the Mosaic
+    windowed gather kernel; ``use_kernel`` forces the choice (None =
+    auto). Window-overflow batches recompute via the XLA gather."""
     pos = positions(mibf, hashes)
-    return rank_of_positions(mibf, pos)
+    if use_kernel is None:
+        # below ~2M positions the kernel's fixed costs (sort + window DMA
+        # walk) only reach parity with the XLA gather (bench/mibf_probe.py:
+        # 1.74x at 4M positions, ~0.95x at 1M)
+        use_kernel = _kernel_eligible(mibf) and pos.size >= (1 << 21)
+    if not use_kernel:
+        return rank_of_positions(mibf, pos)
+    rank_k, hit_k, over = rank_of_positions_kernel(mibf, pos.reshape(-1))
+    rank_k = rank_k.reshape(pos.shape)
+    hit_k = hit_k.reshape(pos.shape)
+    return jax.lax.cond(
+        over > 0,
+        lambda: rank_of_positions(mibf, pos),
+        lambda: (rank_k, hit_k))
 
 
 def get_data(mibf: MIBloomFilter, rank: jax.Array) -> jax.Array:

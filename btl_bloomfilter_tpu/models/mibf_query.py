@@ -197,6 +197,38 @@ def query_scan(m: MIBloomFilter, frame_rank: jax.Array, frame_hit: jax.Array,
             "sat_count": satc, "eval_count": evalc}
 
 
+def prep_frames(m: MIBloomFilter, hashes: U64, valid, max_miss: int):
+    """hashes U64[..., h] -> (rank, hit, usable, misses): the per-frame
+    rank/bit-test gathers plus the iterator-validity mask. Pure; meant to
+    be jitted together with the scan so the whole classification runs in
+    one dispatch (rank gathers ride the Mosaic windowed gather kernel on
+    TPU via mibf.at_rank)."""
+    rank, hit = mibf_mod.at_rank(m, hashes)
+    misses = jnp.sum((~hit).astype(jnp.int32), axis=-1)
+    usable = jnp.asarray(valid) & (misses <= max_miss)
+    return rank, hit, usable, misses
+
+
+def query_device(m: MIBloomFilter, hashes: U64, valid, min_count: jax.Array,
+                 max_miss: int, num_ids: int, extra_frame_limit: int):
+    """Single-read classification, hashes U64[W, h] -> count tables.
+    One jittable graph: rank gathers + the sequential frame scan."""
+    rank, hit, usable, misses = prep_frames(m, hashes, valid, max_miss)
+    return query_scan(m, rank, hit, usable, misses, min_count,
+                      num_ids, extra_frame_limit)
+
+
+def query_device_batch(m: MIBloomFilter, hashes: U64, valid,
+                       min_count: jax.Array, max_miss: int, num_ids: int,
+                       extra_frame_limit: int):
+    """Batched classification, hashes U64[R, W, h]: the rank gathers run
+    over all R*W*h positions in one kernel pass; the per-read scans are
+    vmapped."""
+    rank, hit, usable, misses = prep_frames(m, hashes, valid, max_miss)
+    return query_scan_batch(m, rank, hit, usable, misses, min_count,
+                            num_ids, extra_frame_limit)
+
+
 def query_scan_batch(m: MIBloomFilter, frame_rank: jax.Array,
                      frame_hit: jax.Array, frame_valid: jax.Array,
                      frame_misses: jax.Array, min_count: jax.Array,
@@ -339,27 +371,43 @@ class MIBFQuerySupport:
 
     def query(self, hashes: U64, valid, min_count_vec) -> List[QueryResult]:
         """Single-read query (MIBFQuerySupport.hpp:94-109). hashes is
-        U64[W, h]; valid marks iterator-yielded frames."""
-        rank, hit, usable, misses = self._prep(hashes, valid)
-        return self._run(rank, hit, usable, misses, min_count_vec)
+        U64[W, h]; valid marks iterator-yielded frames. The rank gathers
+        and the frame scan run as one jitted dispatch."""
+        num_ids = len(self.per_frame_prob)
+        key = ("single", hashes.hi.shape, num_ids)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                query_device, max_miss=self.max_miss, num_ids=num_ids,
+                extra_frame_limit=self.extra_frame_limit))
+            self._jit_cache[key] = fn
+        out = fn(self.m, hashes, jnp.asarray(valid),
+                 jnp.asarray(min_count_vec, jnp.int32))
+        self.sat_count = int(out["sat_count"])
+        self.eval_count = int(out["eval_count"])
+        return summarize(np.asarray(out["counts"]),
+                         np.asarray(out["candidates"]),
+                         np.asarray(out["best"]), self.per_frame_prob,
+                         self.min_count, self.extra_count,
+                         self.best_hit_agree)
 
     def query_many(self, hashes: U64, valid, min_count_vec
                    ) -> List[List[QueryResult]]:
         """Batched multi-read query: hashes U64[R, W, h], valid bool[R, W].
-        One device dispatch runs the per-frame engine for all R reads
+        One device dispatch hashes->ranks->engine for all R reads
         (per-read semantics identical to :meth:`query`); the candidate
         ranking runs host-side per read. Returns one result list per
         read."""
-        rank, hit, usable, misses = self._prep(hashes, valid)
         num_ids = len(self.per_frame_prob)
-        key = ("batch", rank.shape, num_ids)
+        key = ("batch", hashes.hi.shape, num_ids)
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(functools.partial(
-                query_scan_batch, num_ids=num_ids,
+                query_device_batch, max_miss=self.max_miss,
+                num_ids=num_ids,
                 extra_frame_limit=self.extra_frame_limit))
             self._jit_cache[key] = fn
-        out = fn(self.m, rank, hit, usable, misses,
+        out = fn(self.m, hashes, jnp.asarray(valid),
                  jnp.asarray(min_count_vec, jnp.int32))
         counts = np.asarray(out["counts"])
         cands = np.asarray(out["candidates"])
@@ -369,7 +417,7 @@ class MIBFQuerySupport:
         return [summarize(counts[r], cands[r], bests[r],
                           self.per_frame_prob, self.min_count,
                           self.extra_count, self.best_hit_agree)
-                for r in range(rank.shape[0])]
+                for r in range(hashes.hi.shape[0])]
 
     def query_paired(self, hashes1: U64, valid1, hashes2: U64, valid2,
                      min_count_vec) -> List[QueryResult]:

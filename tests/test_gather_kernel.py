@@ -87,6 +87,82 @@ def test_gather_overflow_detected():
     assert int(over) > 0
 
 
+def test_mibf_at_rank_kernel_matches_xla_path():
+    from btl_bloomfilter_tpu.models import mibf
+
+    rng = np.random.default_rng(7)
+    size = scatter_or.WIN_WORDS * 32  # smallest kernel-eligible bv
+    nwords = size // 32
+    bv = jnp.asarray(rng.integers(0, 1 << 32, size=nwords, dtype=np.uint32))
+    m = mibf.freeze(bv, size, hash_num=4, kmer_size=21, data_width=2)
+    hashes = U64(
+        jnp.asarray(rng.integers(0, 1 << 32, size=(20, 9, 4),
+                                 dtype=np.uint32)),
+        jnp.asarray(rng.integers(0, 1 << 32, size=(20, 9, 4),
+                                 dtype=np.uint32)))
+
+    rank_ref, hit_ref = mibf.at_rank(m, hashes, use_kernel=False)
+    orig = gather_words.gather_words_pair_sorted
+    try:
+        gather_words.gather_words_pair_sorted = functools.partial(
+            orig, interpret=True)
+        rank_k, hit_k = mibf.at_rank(m, hashes, use_kernel=True)
+    finally:
+        gather_words.gather_words_pair_sorted = orig
+    np.testing.assert_array_equal(np.asarray(hit_ref), np.asarray(hit_k))
+    np.testing.assert_array_equal(np.asarray(rank_ref), np.asarray(rank_k))
+
+
+def test_gather_pair_matches_two_singles():
+    rng = np.random.default_rng(13)
+    nwords = scatter_or.WIN_WORDS + 64 * 5   # unaligned word count
+    size_bits = nwords * 32
+    wa = jnp.asarray(rng.integers(0, 1 << 32, size=nwords, dtype=np.uint32))
+    wb = jnp.asarray(rng.integers(0, 1 << 32, size=nwords, dtype=np.uint32))
+    pos = np.sort(rng.integers(0, size_bits, size=3000, dtype=np.uint32))
+    va, vb, over = gather_words.gather_words_pair_sorted(
+        wa, wb, jnp.asarray(pos), interpret=True)
+    ra, over_a = gather_words.gather_words_sorted(
+        wa, jnp.asarray(pos), interpret=True)
+    rb, over_b = gather_words.gather_words_sorted(
+        wb, jnp.asarray(pos), interpret=True)
+    assert int(over) == int(over_a) == int(over_b)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(ra))
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(rb))
+
+
+@pytest.mark.parametrize("width", [1, 2, 4, 8])
+def test_counting_min_count_kernel_matches_xla_path(width):
+    from btl_bloomfilter_tpu.models import counting
+
+    rng = np.random.default_rng(11)
+    per = {1: 4, 2: 2, 4: 1, 8: 1}[width]
+    size_bytes = scatter_or.WIN_WORDS * 4 * per * width  # one window of words
+    cbf = counting.create(size_bytes, 5, 8, 1, counter_width=width)
+    maxv = min(cbf.counter_max, 200)
+    cbf = counting.CountingBloomFilter(
+        counters=jnp.asarray(rng.integers(
+            0, maxv, size=cbf.size).astype(np.asarray(cbf.counters).dtype)),
+        size=cbf.size, hash_num=cbf.hash_num, kmer_size=cbf.kmer_size,
+        count_threshold=cbf.count_threshold, counter_width=width)
+    hashes = U64(
+        jnp.asarray(rng.integers(0, 1 << 32, size=(37, 5),
+                                 dtype=np.uint32)),
+        jnp.asarray(rng.integers(0, 1 << 32, size=(37, 5),
+                                 dtype=np.uint32)))
+
+    ref = counting.min_count(cbf, hashes, use_kernel=False)
+    orig = gather_words.gather_words_sorted
+    try:
+        gather_words.gather_words_sorted = functools.partial(
+            orig, interpret=True)
+        got = counting.min_count(cbf, hashes, use_kernel=True)
+    finally:
+        gather_words.gather_words_sorted = orig
+    assert got.dtype == ref.dtype
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_contains_kernel_path_matches_xla_path():
     rng = np.random.default_rng(5)
     size = scatter_or.WIN_WORDS * 32  # smallest kernel-eligible filter
