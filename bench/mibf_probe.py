@@ -75,10 +75,10 @@ for uk in (False, True):
 
 for uk in (False, True):
     def run(m_, h_, v_, mc_, uk=uk):
-        r, ht = mibf.at_rank(m_, h_, use_kernel=uk)
+        _, ht, raw = mibf.at_rank_data(m_, h_, use_kernel=uk)
         misses = jnp.sum((~ht).astype(jnp.int32), axis=-1)
         usable = v_ & (misses <= 0)
-        return mibf_query.query_scan_batch(m_, r, ht, usable, misses, mc_,
+        return mibf_query.query_scan_batch(m_, raw, ht, usable, misses, mc_,
                                            NUM_IDS, 10**6)
     out, dt = timeit(jax.jit(run), m, hashes, valid, mc)
     print(f"classify  use_kernel={uk}: {dt * 1e3:8.2f} ms  "

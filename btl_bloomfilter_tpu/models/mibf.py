@@ -169,6 +169,109 @@ def rank_of_positions_kernel(mibf: MIBloomFilter, pos_flat: jax.Array):
     return (packed >> 1).astype(jnp.int32), (packed & 1) == 1, over
 
 
+def _data_u32_words(mibf: MIBloomFilter) -> jax.Array:
+    """Pack the ID array into little-endian uint32 words for the windowed
+    gather kernel (1-D strided slices + shifts — a reshape bitcast would
+    tile the minor dim to 128 lanes, a 32x padding blow-up; see
+    counting._as_u32_words)."""
+    per = 4 // mibf.data_width
+    if per == 1:
+        return mibf.data.astype(jnp.uint32)
+    bits = 8 * mibf.data_width
+    d = mibf.data.astype(jnp.uint32)
+    pad = -mibf.d_size % per
+    if pad:
+        d = jnp.concatenate([d, jnp.zeros(pad, jnp.uint32)])
+    w = d[0::per]
+    for j in range(1, per):
+        w = w | (d[j::per] << jnp.uint32(bits * j))
+    return w
+
+
+def rank_data_of_positions_kernel(mibf: MIBloomFilter, pos_flat: jax.Array):
+    """Fused rank + ID lookup for flat uint32 positions — the full
+    classification gather chain in one sorted pass.
+
+    The three hot gathers (bv word, exclusive cumulative popcount,
+    ``data[rank]`` — MIBloomFilter.hpp:504-515 + 646-655) all ride ONE
+    sort: the first two are indexed by ``pos >> 5`` and share the
+    dual-array kernel pass; ranks of sorted positions are themselves
+    non-decreasing, so ``data`` (bitcast to uint32 words) is gathered by
+    a second sorted kernel pass with no extra sort. The un-sort carries
+    the packed (rank << 1 | hit) word and the raw ID word together.
+
+    The ID plane is only routed through the kernel when the sorted
+    position stream is dense enough that a chunk's ranks fit one window
+    (expected span <= WIN_WORDS/4, the same safety factor the bv gather
+    relies on); sparser streams gather ``data`` with the XLA gather in
+    the sorted domain, still riding the shared sort/un-sort.
+
+    Returns (rank int32[n], hit bool[n], raw uint32[n], overflow_count);
+    raw is 0 at missing slots and still carries the saturation/strand
+    bits. Callers must fall back to the XLA gathers when
+    overflow_count > 0."""
+    from ..kernels import gather_words as _gw
+    from ..kernels.scatter_or import CHUNK, WIN_WORDS
+    n = pos_flat.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pos_s, idx_s = jax.lax.sort((pos_flat, idx), num_keys=1)
+    w_s, c_s, over = _gw.gather_words_pair_sorted(
+        mibf.bv_words, mibf.cum_ranks, pos_s)
+    bit = pos_s & 31
+    before = w_s & ((jnp.uint32(1) << bit) - 1)
+    rank_s = c_s + jax.lax.population_count(before)
+    hit_s = (w_s >> bit) & 1
+    bits = 8 * mibf.data_width
+    # missed slots can carry rank == d_size (one past the data array);
+    # clamp keeps the stream sorted and in-bounds — raw is masked by hit
+    rank_c = jnp.minimum(rank_s, jnp.uint32(mibf.d_size - 1))
+    data_words = -(-mibf.d_size * mibf.data_width) // 4
+    if n * WIN_WORDS >= 4 * CHUNK * data_words:
+        dpos_s = rank_c * jnp.uint32(bits)  # bit position of data[rank]
+        dw_s, over2 = _gw.gather_words_sorted(_data_u32_words(mibf), dpos_s)
+        over = over + over2
+        elmask = jnp.uint32((1 << bits) - 1) if bits < 32 \
+            else jnp.uint32(0xFFFFFFFF)
+        val_s = (dw_s >> (dpos_s & 31)) & elmask
+    else:
+        val_s = mibf.data[rank_c].astype(jnp.uint32)
+    raw_s = jnp.where(hit_s == 1, val_s, jnp.uint32(0))
+    packed_s = (rank_s << 1) | hit_s
+    _, packed, raw = jax.lax.sort((idx_s, packed_s, raw_s), num_keys=1)
+    return ((packed >> 1).astype(jnp.int32), (packed & 1) == 1, raw, over)
+
+
+def at_rank_data(mibf: MIBloomFilter, hashes: U64,
+                 use_kernel: bool | None = None):
+    """at_rank + getData in one pass: for hashes U64[..., h] returns
+    (rank int32[..., h], hit bool[..., h], raw uint32[..., h]) where raw
+    is ``data[rank]`` (saturation/strand bits included, 0 where the bit
+    vector missed). On TPU, large filters route all three gathers through
+    the Mosaic windowed gather kernel (one position sort feeds a
+    dual-array pass over bv/cum_ranks and a sorted pass over data)."""
+    pos = positions(mibf, hashes)
+
+    def fallback():
+        rank, hit = rank_of_positions(mibf, pos)
+        raw = jnp.where(hit, mibf.data[rank].astype(jnp.uint32),
+                        jnp.uint32(0))
+        return rank, hit, raw
+
+    if use_kernel is None:
+        use_kernel = (_kernel_eligible(mibf)
+                      and mibf.d_size * 8 * mibf.data_width < (1 << 32)
+                      and pos.size >= (1 << 21))
+    if not use_kernel:
+        return fallback()
+    rank_k, hit_k, raw_k, over = rank_data_of_positions_kernel(
+        mibf, pos.reshape(-1))
+    rank_k = rank_k.reshape(pos.shape)
+    hit_k = hit_k.reshape(pos.shape)
+    raw_k = raw_k.reshape(pos.shape)
+    return jax.lax.cond(over > 0, fallback,
+                        lambda: (rank_k, hit_k, raw_k))
+
+
 def at_rank(mibf: MIBloomFilter, hashes: U64,
             use_kernel: bool | None = None):
     """Batch equivalent of atRank (MIBloomFilter.hpp:478-515): for hashes

@@ -72,12 +72,15 @@ def _compare_std_err_host(a: float, b: float) -> bool:
     return (b - sb) <= (a + sa)
 
 
-def query_scan(m: MIBloomFilter, frame_rank: jax.Array, frame_hit: jax.Array,
+def query_scan(m: MIBloomFilter, frame_raw: jax.Array, frame_hit: jax.Array,
                frame_valid: jax.Array, frame_misses: jax.Array,
                min_count: jax.Array, num_ids: int, extra_frame_limit: int):
     """Run the sequential per-frame bookkeeping over one read's frames.
 
-    frame_rank  int32 [W, h]   rank positions (garbage where not hit)
+    frame_raw   uint32 [W, h]  data[rank] values (0 where not hit), with
+                               saturation/strand bits — pre-gathered by
+                               mibf.at_rank_data so the scan itself touches
+                               no large array
     frame_hit   bool  [W, h]   bit-vector hits per slot
     frame_valid bool  [W]      frame enters the loop at all (iterator order)
     frame_misses int32 [W]     misses per frame (0 for plain k-mer path)
@@ -86,20 +89,17 @@ def query_scan(m: MIBloomFilter, frame_rank: jax.Array, frame_hit: jax.Array,
     Returns dict of arrays: counts [num_ids, 6], candidate mask [num_ids],
     best counts [6], sat_count, eval_count.
     """
-    h = frame_rank.shape[-1]
+    h = frame_raw.shape[-1]
     dtype = jnp.int32
     smask = jnp.asarray(m.s_mask, jnp.uint32)
     anti = jnp.asarray(m.s_anti_mask, jnp.uint32)
 
-    data = m.data.astype(jnp.uint32)
-
     def step(carry, inp):
         counts, cand, best, second_best, extra_frame, stopped, satc, evalc = carry
-        rank, hit, valid, misses = inp
+        raw, hit, valid, misses = inp
 
         active = valid & ~stopped
 
-        raw = jnp.where(hit, data[rank], 0)              # [h] uint32
         sat = raw > smask
         stripped = jnp.where(sat, raw & anti, raw).astype(dtype)
 
@@ -191,45 +191,45 @@ def query_scan(m: MIBloomFilter, frame_rank: jax.Array, frame_hit: jax.Array,
             jnp.zeros(6, dtype), jnp.int32(0), jnp.int32(0),
             jnp.asarray(False), jnp.int32(0), jnp.int32(0))
     (counts, cand, best, second_best, _extra, _stopped, satc, evalc), _ = \
-        jax.lax.scan(step, init, (frame_rank, frame_hit, frame_valid,
+        jax.lax.scan(step, init, (frame_raw, frame_hit, frame_valid,
                                   frame_misses))
     return {"counts": counts, "candidates": cand, "best": best,
             "sat_count": satc, "eval_count": evalc}
 
 
 def prep_frames(m: MIBloomFilter, hashes: U64, valid, max_miss: int):
-    """hashes U64[..., h] -> (rank, hit, usable, misses): the per-frame
-    rank/bit-test gathers plus the iterator-validity mask. Pure; meant to
-    be jitted together with the scan so the whole classification runs in
-    one dispatch (rank gathers ride the Mosaic windowed gather kernel on
-    TPU via mibf.at_rank)."""
-    rank, hit = mibf_mod.at_rank(m, hashes)
+    """hashes U64[..., h] -> (raw, hit, usable, misses): the per-frame
+    bit-test + rank + ID gathers plus the iterator-validity mask. Pure;
+    meant to be jitted together with the scan so the whole classification
+    runs in one dispatch (all three gathers ride the Mosaic windowed
+    gather kernel on TPU via mibf.at_rank_data)."""
+    _, hit, raw = mibf_mod.at_rank_data(m, hashes)
     misses = jnp.sum((~hit).astype(jnp.int32), axis=-1)
     usable = jnp.asarray(valid) & (misses <= max_miss)
-    return rank, hit, usable, misses
+    return raw, hit, usable, misses
 
 
 def query_device(m: MIBloomFilter, hashes: U64, valid, min_count: jax.Array,
                  max_miss: int, num_ids: int, extra_frame_limit: int):
     """Single-read classification, hashes U64[W, h] -> count tables.
-    One jittable graph: rank gathers + the sequential frame scan."""
-    rank, hit, usable, misses = prep_frames(m, hashes, valid, max_miss)
-    return query_scan(m, rank, hit, usable, misses, min_count,
+    One jittable graph: rank/ID gathers + the sequential frame scan."""
+    raw, hit, usable, misses = prep_frames(m, hashes, valid, max_miss)
+    return query_scan(m, raw, hit, usable, misses, min_count,
                       num_ids, extra_frame_limit)
 
 
 def query_device_batch(m: MIBloomFilter, hashes: U64, valid,
                        min_count: jax.Array, max_miss: int, num_ids: int,
                        extra_frame_limit: int):
-    """Batched classification, hashes U64[R, W, h]: the rank gathers run
-    over all R*W*h positions in one kernel pass; the per-read scans are
-    vmapped."""
-    rank, hit, usable, misses = prep_frames(m, hashes, valid, max_miss)
-    return query_scan_batch(m, rank, hit, usable, misses, min_count,
+    """Batched classification, hashes U64[R, W, h]: the rank/ID gathers
+    run over all R*W*h positions in one kernel pass; the per-read scans
+    are vmapped."""
+    raw, hit, usable, misses = prep_frames(m, hashes, valid, max_miss)
+    return query_scan_batch(m, raw, hit, usable, misses, min_count,
                             num_ids, extra_frame_limit)
 
 
-def query_scan_batch(m: MIBloomFilter, frame_rank: jax.Array,
+def query_scan_batch(m: MIBloomFilter, frame_raw: jax.Array,
                      frame_hit: jax.Array, frame_valid: jax.Array,
                      frame_misses: jax.Array, min_count: jax.Array,
                      num_ids: int, extra_frame_limit: int):
@@ -241,7 +241,7 @@ def query_scan_batch(m: MIBloomFilter, frame_rank: jax.Array,
         functools.partial(query_scan, num_ids=num_ids,
                           extra_frame_limit=extra_frame_limit),
         in_axes=(None, 0, 0, 0, 0, None))(
-        m, frame_rank, frame_hit, frame_valid, frame_misses, min_count)
+        m, frame_raw, frame_hit, frame_valid, frame_misses, min_count)
 
 
 # ---------------------------------------------------------------------------
@@ -340,17 +340,17 @@ class MIBFQuerySupport:
 
     _jit_cache: dict = dataclasses.field(default_factory=dict)
 
-    def _run(self, frame_rank, frame_hit, frame_valid, frame_misses,
+    def _run(self, frame_raw, frame_hit, frame_valid, frame_misses,
              min_count_vec):
         num_ids = len(self.per_frame_prob)
-        key = (frame_rank.shape, num_ids)
+        key = (frame_raw.shape, num_ids)
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(functools.partial(
                 query_scan, num_ids=num_ids,
                 extra_frame_limit=self.extra_frame_limit))
             self._jit_cache[key] = fn
-        out = fn(self.m, frame_rank, frame_hit, frame_valid,
+        out = fn(self.m, frame_raw, frame_hit, frame_valid,
                  frame_misses, jnp.asarray(min_count_vec, jnp.int32))
         self.sat_count = int(out["sat_count"])
         self.eval_count = int(out["eval_count"])
@@ -361,13 +361,13 @@ class MIBFQuerySupport:
                          self.best_hit_agree)
 
     def _prep(self, hashes: U64, valid):
-        rank, hit = mibf_mod.at_rank(self.m, hashes)
+        _, hit, raw = mibf_mod.at_rank_data(self.m, hashes)
         misses = jnp.sum((~hit).astype(jnp.int32), axis=-1)
         if self.max_miss == 0:
             usable = jnp.asarray(valid) & (misses == 0)
         else:
             usable = jnp.asarray(valid) & (misses <= self.max_miss)
-        return rank, hit, usable, misses
+        return raw, hit, usable, misses
 
     def query(self, hashes: U64, valid, min_count_vec) -> List[QueryResult]:
         """Single-read query (MIBFQuerySupport.hpp:94-109). hashes is
@@ -442,12 +442,12 @@ class MIBFQuerySupport:
         if not order:
             return []
         sel = np.array(order)
-        rank = jnp.where((sel[:, 0] == 0)[:, None],
-                         jnp.asarray(r1)[sel[:, 1]],
-                         jnp.asarray(r2)[sel[:, 1]])
+        raw = jnp.where((sel[:, 0] == 0)[:, None],
+                        jnp.asarray(r1)[sel[:, 1]],
+                        jnp.asarray(r2)[sel[:, 1]])
         hit = jnp.where((sel[:, 0] == 0)[:, None],
                         jnp.asarray(h1)[sel[:, 1]],
                         jnp.asarray(h2)[sel[:, 1]])
         usable = jnp.where(sel[:, 0] == 0, u1[sel[:, 1]], u2[sel[:, 1]])
         misses = jnp.where(sel[:, 0] == 0, m1[sel[:, 1]], m2[sel[:, 1]])
-        return self._run(rank, hit, usable, misses, min_count_vec)
+        return self._run(raw, hit, usable, misses, min_count_vec)
