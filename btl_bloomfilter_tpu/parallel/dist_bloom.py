@@ -108,13 +108,25 @@ def create_sharded(mesh: Mesh, size: int, hash_num: int, kmer_size: int
                               kmer_size=kmer_size, num_shards=p)
 
 
-def _route(positions: jax.Array, valid: jax.Array, shard_bits: int, p: int,
-           cap: int):
-    """Bucket positions by owning shard into a [p, cap] send buffer.
+def _default_cap(n: int, p: int) -> int:
+    """Send-buffer slots per destination shard: ~2x the expected per-shard
+    load of a uniform hash stream (rounded up to 8), clamped to n. The
+    multi-round repair loop below makes any cap exact; this choice just
+    makes repair rounds statistically absent."""
+    c = 2 * ((n + p - 1) // p)
+    c = min(n, ((c + 7) // 8) * 8)
+    return max(c, 1)
 
-    Returns (sendbuf, order, slot, owner, overflow) where sendbuf uses
-    0xFFFFFFFF as the padding sentinel. positions uint32 [N] are *global*
-    bit positions (routing requires size <= 2**32 bits)."""
+
+def _route_sorted(positions: jax.Array, valid: jax.Array, shard_bits: int,
+                  p: int):
+    """Owner-sort positions for round-based routing.
+
+    Returns (pos_s, owner_s, slot, order, counts): positions sorted by
+    owning shard, each entry's within-owner slot, the sort permutation, and
+    per-owner counts. Invalid positions get owner p (sort last). positions
+    uint32 [N] are *global* bit positions (routing requires size <= 2**32
+    bits)."""
     n = positions.shape[0]
     sentinel = jnp.uint32(0xFFFFFFFF)
     pos = jnp.where(valid, positions.astype(jnp.uint32), sentinel)
@@ -127,27 +139,33 @@ def _route(positions: jax.Array, valid: jax.Array, shard_bits: int, p: int,
     starts = jnp.concatenate([jnp.zeros(1, counts.dtype),
                               jnp.cumsum(counts)[:-1]])
     slot = jnp.arange(n) - starts[jnp.minimum(owner_s, p - 1)]
-    sendbuf = jnp.full((p, cap), sentinel)
-    ok = (owner_s < p) & (slot < cap)
+    return pos_s, owner_s, slot, order, counts
+
+
+def _round_sendbuf(pos_s, owner_s, slot, p: int, cap: int, rnd):
+    """Send buffer [p, cap] for repair round ``rnd`` (round 0 carries slots
+    [0, cap), round r slots [r*cap, (r+1)*cap))."""
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    lo = rnd * cap
+    ok = (owner_s < p) & (slot >= lo) & (slot < lo + cap)
     dest_row = jnp.where(ok, owner_s.astype(jnp.int32), p)
-    dest_col = jnp.where(ok, slot.astype(jnp.int32), 0)
-    sendbuf = sendbuf.at[dest_row, dest_col].set(
+    dest_col = jnp.where(ok, (slot - lo).astype(jnp.int32), 0)
+    return jnp.full((p, cap), sentinel).at[dest_row, dest_col].set(
         jnp.where(ok, pos_s, sentinel), mode="drop")
-    overflow = jnp.sum(jnp.maximum(counts - cap, 0))
-    return sendbuf, order, slot, owner_s, overflow
 
 
 def sharded_insert_frames(mesh: Mesh, sbf: ShardedBloomFilter, hashes: U64,
                           valid=None, cap: int | None = None):
     """Insert frames (hashes U64[B, W, h] with B divisible by mesh size).
 
-    Returns (new_filter, overflow_count). overflow_count > 0 means ``cap``
-    was too small and some positions were dropped — callers should size
-    cap >= ~2 * positions_per_device / num_shards or pass cap=None (exact,
-    worst-case buffer)."""
+    Returns (new_filter, rerouted_count). The result is always exact: if a
+    destination shard receives more than ``cap`` positions, the remainder is
+    delivered in extra all_to_all rounds (a lax.while_loop that runs until
+    every device's deepest send queue drains). rerouted_count reports how
+    many positions needed extra rounds — statistically zero at the default
+    cap (~2x the expected per-shard load)."""
     p = sbf.num_shards
     shard_bits = sbf.shard_bits
-    h = hashes.hi.shape[-1]
 
     def local(words, hi, lo, v):
         n = hi.size
@@ -155,21 +173,35 @@ def sharded_insert_frames(mesh: Mesh, sbf: ShardedBloomFilter, hashes: U64,
         r = u64.mod_const(flat, sbf.size)
         pos = r.lo  # size < 2**32 per current routing (checked below)
         vv = jnp.broadcast_to(v[..., None], hi.shape).reshape(-1)
-        c = n if cap is None else cap
-        sendbuf, _, _, _, overflow = _route(pos, vv, shard_bits, p, c)
-        recv = lax.all_to_all(sendbuf, AXIS, split_axis=0, concat_axis=0)
-        recv = recv.reshape(-1)  # all positions destined to me (global)
+        c = _default_cap(n, p) if cap is None else min(cap, n)
+        pos_s, owner_s, slot, _, counts = _route_sorted(pos, vv, shard_bits,
+                                                        p)
         my_rank = lax.axis_index(AXIS)
         base = (my_rank.astype(jnp.uint32)) * jnp.uint32(shard_bits)
         sent = jnp.uint32(0xFFFFFFFF)
-        ok = recv != sent
-        local_pos = jnp.where(ok, recv - base, sent)
-        # dedupe by sorting positions so scatter-add == scatter-OR
-        pos_s = jnp.sort(local_pos)
-        keep = jnp.ones(pos_s.shape, bool).at[1:].set(pos_s[1:] != pos_s[:-1])
-        keep = keep & (pos_s != sent)
-        delta = bloom.sorted_delta_words(pos_s, keep, words.shape[-1])
-        return (words[0] | delta)[None], overflow[None]
+
+        def apply_round(words_flat, rnd):
+            buf = _round_sendbuf(pos_s, owner_s, slot, p, c, rnd)
+            recv = lax.all_to_all(buf, AXIS, split_axis=0,
+                                  concat_axis=0).reshape(-1)
+            local_pos = jnp.where(recv != sent, recv - base, sent)
+            # dedupe by sorting positions so scatter-add == scatter-OR
+            ps = jnp.sort(local_pos)
+            keep = jnp.ones(ps.shape, bool).at[1:].set(ps[1:] != ps[:-1])
+            keep = keep & (ps != sent)
+            return words_flat | bloom.sorted_delta_words(ps, keep,
+                                                         words.shape[-1])
+
+        w = apply_round(words[0], 0)
+        # exact repair: any shard whose send queue is deeper than cap gets
+        # the remainder in later rounds (all devices loop in lockstep)
+        max_count = lax.pmax(jnp.max(counts), AXIS)
+        w = lax.while_loop(
+            lambda st: st[0] * c < max_count,
+            lambda st: (st[0] + 1, apply_round(st[1], st[0])),
+            (jnp.int32(1), w))[1]
+        rerouted = jnp.sum(jnp.maximum(counts - c, 0))
+        return w[None], rerouted[None]
 
     if sbf.size > (1 << 32):
         raise NotImplementedError("sharded routing currently requires "
@@ -186,7 +218,11 @@ def sharded_insert_frames(mesh: Mesh, sbf: ShardedBloomFilter, hashes: U64,
 
 def sharded_contains_frames(mesh: Mesh, sbf: ShardedBloomFilter, hashes: U64,
                             cap: int | None = None):
-    """Query frames against the sharded filter; returns bool[B, W]."""
+    """Query frames against the sharded filter; returns bool[B, W].
+
+    Exact for any ``cap``: positions that do not fit a round's send buffer
+    are answered in extra all_to_all rounds (never silently dropped), so the
+    Bloom contract — no false negatives — holds (BloomFilter.hpp:237-262)."""
     p = sbf.num_shards
     shard_bits = sbf.shard_bits
 
@@ -197,23 +233,37 @@ def sharded_contains_frames(mesh: Mesh, sbf: ShardedBloomFilter, hashes: U64,
         r = u64.mod_const(flat, sbf.size)
         pos = r.lo
         vv = jnp.ones((n,), bool)
-        c = n if cap is None else cap
-        sendbuf, order, slot, owner_s, _ = _route(pos, vv, shard_bits, p, c)
-        recv = lax.all_to_all(sendbuf, AXIS, split_axis=0, concat_axis=0)
+        c = _default_cap(n, p) if cap is None else min(cap, n)
+        pos_s, owner_s, slot, order, counts = _route_sorted(pos, vv,
+                                                            shard_bits, p)
         my_rank = lax.axis_index(AXIS)
         base = my_rank.astype(jnp.uint32) * jnp.uint32(shard_bits)
-        local_pos = (recv - base).reshape(-1)
-        ok = (recv != jnp.uint32(0xFFFFFFFF)).reshape(-1)
-        word = jnp.where(ok, (local_pos >> 5).astype(jnp.int32), 0)
-        got = words[0][word]
-        hit = ((got >> (local_pos & 31)) & 1).astype(jnp.uint32)
-        # route each bit result back to the shard that asked for it
-        back = lax.all_to_all(hit.reshape(p, c), AXIS, split_axis=0,
-                              concat_axis=0)
-        # back[j, s] = bit result for my send slot s to shard j
-        mine = back[jnp.minimum(owner_s, p - 1).astype(jnp.int32),
-                    jnp.clip(slot, 0, c - 1).astype(jnp.int32)]
-        unsorted = jnp.zeros((n,), jnp.uint32).at[order].set(mine)
+        sent = jnp.uint32(0xFFFFFFFF)
+
+        def apply_round(acc, rnd):
+            buf = _round_sendbuf(pos_s, owner_s, slot, p, c, rnd)
+            recv = lax.all_to_all(buf, AXIS, split_axis=0, concat_axis=0)
+            local_pos = (recv - base).reshape(-1)
+            ok = (recv != sent).reshape(-1)
+            word = jnp.where(ok, (local_pos >> 5).astype(jnp.int32), 0)
+            got = words[0][word]
+            hit = ((got >> (local_pos & 31)) & 1).astype(jnp.uint32)
+            # route each bit result back to the shard that asked for it
+            back = lax.all_to_all(hit.reshape(p, c), AXIS, split_axis=0,
+                                  concat_axis=0)
+            # back[j, s] = bit result for my round-``rnd`` slot s to shard j
+            active = (owner_s < p) & (slot >= rnd * c) & (slot < (rnd + 1) * c)
+            mine = back[jnp.where(active, owner_s, 0).astype(jnp.int32),
+                        jnp.where(active, slot - rnd * c, 0).astype(jnp.int32)]
+            return jnp.where(active, mine, acc)
+
+        acc = apply_round(jnp.zeros((n,), jnp.uint32), 0)
+        max_count = lax.pmax(jnp.max(counts), AXIS)
+        acc = lax.while_loop(
+            lambda st: st[0] * c < max_count,
+            lambda st: (st[0] + 1, apply_round(st[1], st[0])),
+            (jnp.int32(1), acc))[1]
+        unsorted = jnp.zeros((n,), jnp.uint32).at[order].set(acc)
         hits = unsorted.reshape(shape)
         return jnp.all(hits == 1, axis=-1)
 

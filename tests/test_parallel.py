@@ -103,15 +103,36 @@ def test_sharded_insert_query_matches_single_device(mesh):
     np.testing.assert_array_equal(np.asarray(got), expect)
 
 
-def test_sharded_overflow_reported(mesh):
-    # cap=1 with many positions per shard must report overflow, not corrupt
+def test_sharded_overflow_repaired_exactly(mesh):
+    # a cap far too small must trigger repair rounds, not drop positions:
+    # the sharded build/query must stay bit-identical to single-device
     codes = rand_codes(8, 40, seed=5)
     k, h, size = 5, 4, 8 * 32 * 8
     frames = nthash.hash_frames(jnp.asarray(codes), k, h)
+
+    bf1 = bloom.create(size, h, k)
+    bf1 = bloom.insert(bf1, frames.hashes, frames.valid)
+
     sbf = dist_bloom.create_sharded(mesh, size, h, k)
-    sbf, overflow = dist_bloom.sharded_insert_frames(
-        mesh, sbf, frames.hashes, frames.valid, cap=1)
-    assert int(overflow) > 0
+    sbf, rerouted = dist_bloom.sharded_insert_frames(
+        mesh, sbf, frames.hashes, frames.valid, cap=2)
+    assert int(rerouted) > 0  # the tiny cap really did overflow
+    np.testing.assert_array_equal(
+        np.asarray(sbf.words).reshape(-1), np.asarray(bf1.words))
+
+    # query with the same tiny cap: every inserted k-mer must still be
+    # found (no false negatives — the Bloom contract)
+    got = dist_bloom.sharded_contains_frames(mesh, sbf, frames.hashes, cap=2)
+    expect = np.asarray(bloom.contains(bf1, frames.hashes))
+    np.testing.assert_array_equal(np.asarray(got), expect)
+    assert np.asarray(got)[np.asarray(frames.valid)].all()
+
+
+def test_sharded_default_cap_is_bounded(mesh):
+    # default send buffer must be ~2x expected per-shard load, not [p, n]
+    assert dist_bloom._default_cap(8000, 8) == 2000
+    assert dist_bloom._default_cap(10, 8) == 8
+    assert dist_bloom._default_cap(4, 8) == 4
 
 
 def test_saturating_add_allreduce(mesh):
