@@ -63,21 +63,26 @@ def _kernel(bases_ref, pos_ref, words_hbm, out_hbm, over_ref,
     hi = lw // _WLO                           # [CHUNK] in [0, _WHI)
     lo = jnp.where(in_win, local % _WLO, -1)
     mask = jnp.uint32(1) << (pos & 31)
-    # Mosaic lacks uint32<->float casts; both halves fit int32
-    m_lo = (mask & 0xFFFF).astype(jnp.int32).astype(jnp.float32)
-    m_hi = (mask >> 16).astype(jnp.int32).astype(jnp.float32)
+    # 16-bit halves are powers of two -> exact in bf16 (8-bit significand);
+    # Mosaic lacks uint32<->float casts so go through int32
+    m_lo = (mask & 0xFFFF).astype(jnp.int32).astype(jnp.bfloat16)
+    m_hi = (mask >> 16).astype(jnp.int32).astype(jnp.bfloat16)
 
-    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _WHI), 1)
-    a = (hi[:, None] == iota_hi).astype(jnp.float32)          # [C, WHI]
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _WLO), 1)
-    onehot_lo = (lo[:, None] == iota_lo).astype(jnp.float32)  # [C, _WLO]
+    # lane-major one-hots: hi/lo are 1-D lane vectors, so [None, :]
+    # broadcasts along sublanes for free (a [:, None] minor-dim insert
+    # would relayout lane->sublane, measured ~2x whole-kernel cost)
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (_WHI, CHUNK), 0)
+    at = (hi[None, :] == iota_hi).astype(jnp.bfloat16)        # [WHI, C]
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_WLO, CHUNK), 0)
+    bt = (lo[None, :] == iota_lo).astype(jnp.bfloat16)        # [WLO, C]
 
-    # two half-matmuls (lane-dim slices of a fused [WHI,128] product would
-    # violate Mosaic's 128-lane slice alignment)
-    dims = (((0,), (0,)), ((), ()))
-    p_lo = jax.lax.dot_general(a, onehot_lo * m_lo[:, None], dims,
+    # two half-matmuls contracting the position axis (lanes of both
+    # operands); bf16 x bf16 -> f32 accumulation is exact here: each output
+    # word-half receives a sum of distinct bits < 2**16
+    dims = (((1,), (1,)), ((), ()))
+    p_lo = jax.lax.dot_general(at, bt * m_lo[None, :], dims,
                                preferred_element_type=jnp.float32)
-    p_hi = jax.lax.dot_general(a, onehot_lo * m_hi[:, None], dims,
+    p_hi = jax.lax.dot_general(at, bt * m_hi[None, :], dims,
                                preferred_element_type=jnp.float32)
     plo = p_lo.astype(jnp.int32).astype(jnp.uint32)
     phi = p_hi.astype(jnp.int32).astype(jnp.uint32)

@@ -179,11 +179,12 @@ def contains(cbf: CountingBloomFilter, hashes: U64,
 # inserts
 # ---------------------------------------------------------------------------
 
-def insert(cbf: CountingBloomFilter, hashes: U64, valid=None) -> CountingBloomFilter:
-    """Conservative update over a batch of frames, *sequentially equivalent*
-    to calling the reference's incrementMin per frame in stream order.
-
-    hashes U64[..., h]; frames are processed in flattened row-major order.
+def insert_sequential(cbf: CountingBloomFilter, hashes: U64,
+                      valid=None) -> CountingBloomFilter:
+    """Conservative update as a per-frame ``lax.scan`` — the transparent
+    mirror of the reference's incrementMin loop
+    (CountingBloomFilter.hpp:135-162). Exact but O(n) sequential device
+    steps; use :func:`insert` (bit-identical, batched) for throughput.
     """
     h = hashes.hi.shape[-1]
     pos = _positions(cbf, hashes).reshape(-1, h)
@@ -206,6 +207,148 @@ def insert(cbf: CountingBloomFilter, hashes: U64, valid=None) -> CountingBloomFi
         return counters.at[p].set(upd), None
 
     counters, _ = jax.lax.scan(step, cbf.counters, (pos, v))
+    return dataclasses.replace(cbf, counters=counters)
+
+
+def _group_closed_form(counters, pos, c, dtype, counter_max, apply_mask,
+                       size):
+    """Closed form for ``c`` conservative updates of ONE frame (position
+    multiset ``pos`` [n, h]): each update increments the current minimum
+    set by one, so after c updates every counter is max(cur, mn + inc) with
+    inc = min(c, counter_max - mn) (the freeze rule stops increments once
+    the minimum hits the dtype max — incrementMin's overflow check,
+    CountingBloomFilter.hpp:146-149). Rows with apply_mask False write
+    nothing."""
+    safe_pos = jnp.where(apply_mask[:, None], pos, 0).astype(jnp.int32)
+    cur = counters[safe_pos]
+    mn32 = jnp.min(cur, axis=-1).astype(jnp.uint32)
+    cmax = jnp.asarray(counter_max, jnp.uint32)
+    inc = jnp.minimum(c.astype(jnp.uint32), cmax - mn32)
+    target = (mn32 + inc).astype(dtype)
+    upd = jnp.maximum(cur, target[:, None])
+    dest = jnp.where(apply_mask[:, None], safe_pos, size)  # drop when masked
+    return counters.at[dest].set(upd, mode="drop")
+
+
+def insert(cbf: CountingBloomFilter, hashes: U64, valid=None,
+           max_entangled: int | None = None) -> CountingBloomFilter:
+    """Batched conservative update, bit-identical to processing frames one
+    at a time in stream order (incrementMin,
+    CountingBloomFilter.hpp:135-162).
+
+    Decomposition (all-vectorized, no per-frame scan for typical streams):
+
+      1. frames with identical position MULTISETS form a group (the update
+         depends only on positions); a group of c consecutive-or-not
+         occurrences has the closed form max(cur, min(cur) + inc) as long
+         as the group shares no position with any other group;
+      2. groups that DO share a position ("entangled") are order-dependent
+         — those frames (usually a vanishing fraction: cross-k-mer hash
+         collisions) are compacted and replayed with the sequential scan.
+
+    ``max_entangled`` bounds the compacted replay buffer (default n/8,
+    min 256); if more frames are entangled than that, the whole batch is
+    processed by the sequential mirror instead (still exact).
+    """
+    h = hashes.hi.shape[-1]
+    pos = _positions(cbf, hashes).reshape(-1, h).astype(jnp.uint32)
+    n = pos.shape[0]
+    if valid is None:
+        v = jnp.ones((n,), bool)
+    else:
+        v = jnp.broadcast_to(jnp.asarray(valid),
+                             hashes.hi.shape[:-1]).reshape(-1)
+    if n <= 2:
+        return insert_sequential(cbf, hashes, valid)
+    sent = jnp.uint32(0xFFFFFFFF)  # > any position (size <= 2**32-1)
+    pos = jnp.where(v[:, None], pos, sent)
+
+    # --- 1. group by identical position multiset -------------------------
+    key = jnp.sort(pos, axis=-1)                       # [n, h] frame key
+    order0 = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        tuple(key[:, j] for j in range(h)) + (order0,), num_keys=h)
+    ks = jnp.stack(sorted_ops[:h], axis=1)             # [n, h] sorted keys
+    frame_of = sorted_ops[h]                           # original frame idx
+    new_grp = jnp.ones((n,), bool).at[1:].set(
+        jnp.any(ks[1:] != ks[:-1], axis=1))
+
+    # run id and run length per sorted row (log-depth scans, no scatter)
+    gid = jnp.cumsum(new_grp.astype(jnp.int32)) - 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    run_start = jnp.where(new_grp, idx, 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+    is_last = jnp.ones((n,), bool).at[:-1].set(new_grp[1:])
+    run_end = jnp.where(is_last, idx, n - 1)
+    run_end = jax.lax.associative_scan(jnp.minimum, run_end, reverse=True)
+    run_len = run_end - run_start + 1
+
+    # --- 2. entanglement: positions shared across groups -----------------
+    pair_pos = ks.reshape(-1)                          # [n*h], gid-major
+    pair_gid = jnp.repeat(gid, h)
+    pidx = jnp.arange(n * h, dtype=jnp.uint32)
+    pp_s, pg_s, pi_s = jax.lax.sort((pair_pos, pair_gid, pidx), num_keys=1)
+    shared_prev = jnp.zeros((n * h,), bool).at[1:].set(
+        (pp_s[1:] == pp_s[:-1]) & (pg_s[1:] != pg_s[:-1])
+        & (pp_s[1:] != sent))
+    shared = shared_prev | jnp.concatenate(
+        [shared_prev[1:], jnp.zeros(1, bool)])
+    # un-permute the 1-bit flag with the packed-key trick
+    packed = jnp.sort((pi_s << 1) | shared.astype(jnp.uint32))
+    frame_shared = jnp.any((packed & 1).reshape(n, h) == 1, axis=1)
+    # group-wide flag: any shared frame inside the run marks the whole run
+    last_shared = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(frame_shared, idx, -1))
+    next_shared = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(frame_shared, idx, n), reverse=True)
+    entangled_s = (last_shared >= run_start) | (next_shared <= run_end)
+
+    live_s = ks[:, 0] != sent                            # frame is valid
+    entangled_s = entangled_s & live_s
+
+    # --- 3. closed form for untangled groups (their representatives) -----
+    rep = new_grp & live_s & ~entangled_s
+    counters = _group_closed_form(cbf.counters, ks, run_len,
+                                  cbf.counters.dtype, cbf.counter_max,
+                                  rep, cbf.size)
+
+    # --- 4. sequential replay of entangled frames in stream order --------
+    cap = max_entangled if max_entangled is not None else max(256, n // 8)
+    cap = min(cap, n)
+    n_ent = jnp.sum(entangled_s.astype(jnp.int32))
+    # compact entangled frames, ordered by original stream position
+    ent_key = jnp.where(entangled_s, frame_of, jnp.int32(n))
+    ent_sorted = jax.lax.sort(ent_key)[:cap]
+    ent_pos = pos[jnp.minimum(ent_sorted, n - 1)]
+    ent_ok = ent_sorted < n
+
+    dtype = cbf.counters.dtype
+
+    def step(cs, inp):
+        p, ok = inp
+        p32 = p.astype(jnp.int32)
+        curf = cs[p32]
+        m = jnp.min(curf)
+        new = (m + jnp.asarray(1, dtype)).astype(dtype)
+        frozen = new < m
+        do = ok & ~frozen
+        upd = jnp.where(do & (curf == m), new, curf)
+        return cs.at[p32].set(jnp.where(do, upd, curf)), None
+
+    def replay(cs):
+        out, _ = jax.lax.scan(step, cs, (ent_pos, ent_ok))
+        return out
+
+    counters = jax.lax.cond(n_ent > 0, replay, lambda cs: cs, counters)
+
+    # too many entangled frames for the buffer: redo everything serially
+    def full_sequential(_):
+        out, _ = jax.lax.scan(step, cbf.counters,
+                              (pos, v & (pos[:, 0] != sent)))
+        return out
+
+    counters = jax.lax.cond(n_ent > cap, full_sequential,
+                            lambda _: counters, None)
     return dataclasses.replace(cbf, counters=counters)
 
 

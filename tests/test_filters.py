@@ -4,6 +4,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -243,3 +244,48 @@ def test_bf_insert_and_check_sequential():
     # resulting filter identical to the batched insert
     bf2 = bloom.insert(bloom.create(4096, 2, 4), u64.from_numpy(hashes))
     np.testing.assert_array_equal(np.asarray(bf.words), np.asarray(bf2.words))
+
+
+# ---------------------------------------------------------------------------
+# batched conservative update == sequential mirror (bit-identical)
+# ---------------------------------------------------------------------------
+
+def _rand_hashes(n, h, seed):
+    r = np.random.default_rng(seed)
+    return u64.U64(
+        jnp.asarray(r.integers(0, 1 << 32, size=(n, h), dtype=np.uint32)),
+        jnp.asarray(r.integers(0, 1 << 32, size=(n, h), dtype=np.uint32)))
+
+
+@pytest.mark.parametrize("n,h,size_bytes,repeat,width,seed", [
+    (500, 3, 4096, 1, 1, 1),    # sparse random, few collisions
+    (400, 3, 256, 1, 1, 2),     # dense -> heavy entanglement
+    (300, 4, 2048, 8, 1, 3),    # high-multiplicity groups (coverage-like)
+    (64, 2, 64, 30, 1, 4),      # tiny filter: entanglement + u8 freeze
+    (200, 3, 1024, 4, 8, 5),    # u64-width counters
+])
+def test_conservative_update_batched_matches_sequential(
+        n, h, size_bytes, repeat, width, seed):
+    hs = _rand_hashes(n, h, seed)
+    if repeat > 1:
+        ridx = np.tile(np.arange(n), repeat)
+        np.random.default_rng(seed + 100).shuffle(ridx)
+        hs = u64.U64(hs.hi[ridx], hs.lo[ridx])
+    valid = jnp.asarray(
+        np.random.default_rng(seed + 7).random(hs.hi.shape[0]) < 0.9)
+    cbf0 = counting.create(size_bytes, h, 5, 1, counter_width=width)
+    a = counting.insert_sequential(cbf0, hs, valid)
+    b = counting.insert(cbf0, hs, valid)
+    np.testing.assert_array_equal(np.asarray(a.counters),
+                                  np.asarray(b.counters))
+
+
+def test_conservative_update_entangled_overflow_fallback():
+    """When more frames are entangled than the replay buffer holds, the
+    whole batch must be recomputed sequentially (still exact)."""
+    hs = _rand_hashes(300, 3, 11)
+    cbf0 = counting.create(128, 3, 5, 1, counter_width=1)
+    a = counting.insert_sequential(cbf0, hs)
+    b = counting.insert(cbf0, hs, max_entangled=16)
+    np.testing.assert_array_equal(np.asarray(a.counters),
+                                  np.asarray(b.counters))
