@@ -95,7 +95,7 @@ def main():
     for uk, name in [(True, "insert (window kernel)"),
                      (False, "insert (XLA scatter)")]:
         step = insert_step(uk)
-        words = step(bf.words, codes)
+        words = step(bf.words + jnp.uint32(0), codes)
         drain(words)
         t0 = time.perf_counter()
         reps = 10

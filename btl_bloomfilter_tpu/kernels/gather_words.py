@@ -56,14 +56,20 @@ def _kernel(bases_ref, pos_ref, words_hbm, out_ref, over_ref,
     hi = lw // _WLO                           # [CHUNK] in [0, _WHI)
     lo = lw % _WLO
 
-    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _WHI), 1)
-    a = (hi[:, None] == iota_hi).astype(jnp.bfloat16)         # [C, WHI]
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _WLO), 1)
-    sel_lo = (lo[:, None] == iota_lo).astype(jnp.float32)     # [C, WLO]
+    # lane-major one-hots ([W, C] with positions along lanes): [None, :]
+    # broadcasts along sublanes for free, where a [:, None] minor-dim
+    # insert would relayout lane->sublane (measured ~2x the kernel cost)
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (_WHI, CHUNK), 0)
+    at = (hi[None, :] == iota_hi).astype(jnp.bfloat16)        # [WHI, C]
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_WLO, CHUNK), 0)
+    bt = (lo[None, :] == iota_lo).astype(jnp.float32)         # [WLO, C]
 
     read.wait()
     w = win[...]
-    dims = (((1,), (0,)), ((), ()))
+    # row-select on the MXU (contract the WHI sublanes of both operands),
+    # then lane-select as an elementwise product + sublane reduce — every
+    # operand stays lane-major, no relayouts
+    dims = (((0,), (0,)), ((), ()))
     val = jnp.uint32(0)
     for q in range(4):
         # Mosaic lacks uint32<->float casts; bytes fit int32. Explicit
@@ -72,9 +78,9 @@ def _kernel(bases_ref, pos_ref, words_hbm, out_ref, over_ref,
         # and the MXU accumulates in f32, so the result is exact.
         w_q = ((w >> (8 * q)) & jnp.uint32(0xFF)
                ).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
-        r_q = jax.lax.dot_general(a, w_q, dims,
+        u_q = jax.lax.dot_general(w_q, at, dims,
                                   preferred_element_type=jnp.float32)
-        v_q = jnp.sum(r_q * sel_lo, axis=1).astype(jnp.int32)  # [CHUNK]
+        v_q = jnp.sum(u_q * bt, axis=0).astype(jnp.int32)      # [CHUNK]
         val = val | (v_q.astype(jnp.uint32) << (8 * q))
     out_ref[...] = jnp.where(in_win, val, jnp.uint32(0))
 
@@ -106,12 +112,13 @@ def _kernel2(bases_ref, pos_ref, wa_hbm, wb_hbm, outa_ref, outb_ref,
     hi = lw // _WLO
     lo = lw % _WLO
 
-    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _WHI), 1)
-    a = (hi[:, None] == iota_hi).astype(jnp.bfloat16)
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, _WLO), 1)
-    sel_lo = (lo[:, None] == iota_lo).astype(jnp.float32)
+    # lane-major one-hots; see _kernel for the relayout rationale
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (_WHI, CHUNK), 0)
+    at = (hi[None, :] == iota_hi).astype(jnp.bfloat16)        # [WHI, C]
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_WLO, CHUNK), 0)
+    bt = (lo[None, :] == iota_lo).astype(jnp.float32)         # [WLO, C]
 
-    dims = (((1,), (0,)), ((), ()))
+    dims = (((0,), (0,)), ((), ()))
 
     def extract(w):
         val = jnp.uint32(0)
@@ -119,9 +126,9 @@ def _kernel2(bases_ref, pos_ref, wa_hbm, wb_hbm, outa_ref, outb_ref,
             w_q = ((w >> (8 * q)) & jnp.uint32(0xFF)
                    ).astype(jnp.int32).astype(jnp.float32
                                               ).astype(jnp.bfloat16)
-            r_q = jax.lax.dot_general(a, w_q, dims,
+            u_q = jax.lax.dot_general(w_q, at, dims,
                                       preferred_element_type=jnp.float32)
-            v_q = jnp.sum(r_q * sel_lo, axis=1).astype(jnp.int32)
+            v_q = jnp.sum(u_q * bt, axis=0).astype(jnp.int32)
             val = val | (v_q.astype(jnp.uint32) << (8 * q))
         return jnp.where(in_win, val, jnp.uint32(0))
 

@@ -141,11 +141,11 @@ def _kernel_eligible(bf: BloomFilter) -> bool:
     """Use the Mosaic MXU scatter kernel when the filter is big enough for
     the window walk, positions fit one limb, and we are on a TPU backend
     (Pallas Mosaic does not lower on CPU outside interpret mode)."""
-    from ..kernels import scatter_windows as _sw
+    from ..kernels import scatter_or as _so
     nwords = bf.words.shape[0]
     # below one window the XLA scatter is cheap and the kernel's fixed
     # costs (window DMA per chunk) cannot win
-    return (bf.size < (1 << 32) and nwords >= _sw.WIN_WORDS
+    return (bf.size < (1 << 32) and nwords >= _so.WIN_WORDS
             and jax.default_backend() != "cpu")
 
 
@@ -175,29 +175,24 @@ def insert(bf: BloomFilter, hashes: U64, valid=None,
         pos = r.lo
         if v is not None:
             pos = jnp.where(v, pos, sent)
-        from ..kernels import scatter_windows as _sw
-        slots = _sw.slots_needed(int(pos.size), nwords)
-        if use_kernel is None:
-            use_kernel = (_kernel_eligible(bf) and bf.size < (1 << 32)
-                          and slots <= 8)
         pos_s = jnp.sort(pos)
-        if use_kernel:
-            # pipelined static-window MXU kernel; dedupe happens in-kernel
-            out, over = _sw.scatter_or_windows(bf.words, pos_s,
-                                               slots=min(slots, 8))
-            # rare window-overflow fallback (skewed stream): recompute the
-            # whole batch through the XLA scatter
-            def _fallback(_):
-                keep = jnp.ones(pos_s.shape, bool).at[1:].set(
-                    pos_s[1:] != pos_s[:-1])
-                keep = keep & (pos_s != sent)
-                return bf.words | sorted_delta_words(pos_s, keep, nwords)
-
-            out = jax.lax.cond(over, _fallback, lambda _: out, None)
-            return dataclasses.replace(bf, words=out)
         keep = jnp.ones(pos_s.shape, bool).at[1:].set(pos_s[1:] != pos_s[:-1])
         if v is not None:
             keep = keep & (pos_s != sent)
+        if use_kernel is None:
+            use_kernel = _kernel_eligible(bf) and bf.size < (1 << 32)
+        if use_kernel:
+            from ..kernels import scatter_or as _so
+            pos_d = jnp.where(keep, pos_s, sent)
+            out, over = _so.scatter_or_sorted(bf.words, pos_d,
+                                              pos_for_base=pos_s)
+            # rare window-overflow fallback: re-apply the (idempotent)
+            # whole batch through the XLA scatter
+            out = jax.lax.cond(
+                over > 0,
+                lambda w: w | sorted_delta_words(pos_s, keep, nwords),
+                lambda w: w, out)
+            return dataclasses.replace(bf, words=out)
         delta = sorted_delta_words(pos_s, keep, nwords)
     else:
         if v is not None:

@@ -170,13 +170,25 @@ def insert_mibf(m: MIBloomFilter, counts: jax.Array, hashes: U64, id_value: int,
     overwrite data[rank] (last acceptance per rank wins).
     Returns (mibf, counts).
     """
-    width_bits = 8 * m.data_width
     hi_s, lo_s, keep = _unique_sorted_u64(hashes, valid)
-    n = hi_s.shape[0]
-
     pos = mibf_mod.positions(m, U64(hi_s, lo_s))
     rank, _hit = mibf_mod.rank_of_positions(m, pos)
-    rank = jnp.where(keep, rank, jnp.int32(m.d_size))  # sentinel rank
+    data, counts = reservoir_core(m.data, counts, rank, hi_s, lo_s, keep,
+                                  id_value, m.d_size, m.data_width)
+    return dataclasses.replace(m, data=data), counts
+
+
+def reservoir_core(data: jax.Array, counts: jax.Array, rank: jax.Array,
+                   hi_s: jax.Array, lo_s: jax.Array, keep: jax.Array,
+                   id_value, d_size: int, data_width: int):
+    """The order-exact reservoir arithmetic of insertMIBF
+    (MIBFConstructSupport.hpp:120-129) over value-sorted unique hashes
+    with precomputed ranks; shared by the single-device and sharded
+    (parallel/dist_mibf.py) paths. ``rank`` entries of masked values must
+    already be the d_size sentinel. Returns (data, counts)."""
+    width_bits = 8 * data_width
+    n = hi_s.shape[0]
+    rank = jnp.where(keep, rank, jnp.int32(d_size))  # sentinel rank
 
     # order by (rank, value): values are already sorted, so a stable sort
     # on rank preserves value order within each rank group

@@ -94,3 +94,27 @@ def test_kernel_overflow_detected():
     final = xla_reference(got, jnp.asarray(pos))
     expect = np.asarray(xla_reference(words, jnp.asarray(pos)))
     np.testing.assert_array_equal(np.asarray(final), expect)
+
+
+def test_insert_kernel_path_matches_xla_path():
+    """bloom.insert(use_kernel=True, interpret via CPU) == use_kernel=False."""
+    import functools
+    rng = np.random.default_rng(3)
+    size = scatter_or.WIN_WORDS * 32  # smallest kernel-eligible filter
+    bf = bloom.create(size, 4, 31)
+    from btl_bloomfilter_tpu.ops.u64 import U64
+    hi = jnp.asarray(rng.integers(0, 1 << 32, size=(64, 8, 4),
+                                  dtype=np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 32, size=(64, 8, 4),
+                                  dtype=np.uint32))
+    hashes = U64(hi, lo)
+    valid = jnp.asarray(rng.random((64, 8)) < 0.9)
+
+    ref = bloom.insert(bf, hashes, valid, use_kernel=False)
+    orig = scatter_or.scatter_or_sorted
+    try:
+        scatter_or.scatter_or_sorted = functools.partial(orig, interpret=True)
+        got = bloom.insert(bf, hashes, valid, use_kernel=True)
+    finally:
+        scatter_or.scatter_or_sorted = orig
+    np.testing.assert_array_equal(np.asarray(ref.words), np.asarray(got.words))
