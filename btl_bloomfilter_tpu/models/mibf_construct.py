@@ -205,7 +205,7 @@ def reservoir_core(data: jax.Array, counts: jax.Array, rank: jax.Array,
         jnp.maximum, jnp.where(is_start, idx, 0))
     within = idx - group_start
 
-    c0 = counts[jnp.clip(rank_o, 0, max(m.d_size - 1, 0))].astype(jnp.uint32)
+    c0 = counts[jnp.clip(rank_o, 0, max(d_size - 1, 0))].astype(jnp.uint32)
     c0 = jnp.where(keep_o, c0, 0)
     count_val = (c0 + within.astype(jnp.uint32) + 1) & jnp.uint32(
         (1 << width_bits) - 1)
@@ -240,15 +240,22 @@ def reservoir_core(data: jax.Array, counts: jax.Array, rank: jax.Array,
         indices_are_sorted=True)
     winner = accepted & (seg_max[group_start] == idx)
 
-    ranks_to_set = jnp.where(winner, rank_o, jnp.int32(m.d_size))
-    ids = jnp.full(n, 0, m.data.dtype) + jnp.asarray(id_value, m.data.dtype)
-    m = mibf_mod.set_data(m, ranks_to_set, ids)
+    ranks_to_set = jnp.where(winner, rank_o, jnp.int32(d_size))
+    ids = jnp.full(n, 0, data.dtype) + jnp.asarray(id_value, data.dtype)
+    # setData semantics: overwrite ID, preserve saturation bit
+    # (MIBloomFilter.hpp:625-634); later duplicates win
+    smask = jnp.asarray((1 << (width_bits - 1)), jnp.uint32).astype(data.dtype)
+    keep_sat = data & smask
+    data = data.at[ranks_to_set].set(ids, mode="drop")
+    touched = jnp.zeros(data.shape[0], bool).at[ranks_to_set].set(
+        True, mode="drop")
+    data = jnp.where(touched, data | keep_sat, data)
 
     # counts[rank] += group_size for each touched rank (wraps in T)
-    add = jnp.zeros(m.d_size, jnp.uint32).at[rank_o].add(
+    add = jnp.zeros(data.shape[0], jnp.uint32).at[rank_o].add(
         keep_o.astype(jnp.uint32), mode="drop", indices_are_sorted=True)
     counts = (counts.astype(jnp.uint32) + add).astype(counts.dtype)
-    return m, counts
+    return data, counts
 
 
 def insert_saturation(m: MIBloomFilter, counts: jax.Array, hashes: U64,

@@ -268,6 +268,29 @@ def mod_const(v: U64, m: int) -> U64:
     return select(ge(r, m64), sub(r, m64), r)
 
 
+def divmod_const(v: U64, m: int):
+    """(v // m, v %% m) with exact uint64 semantics; m static >= 1.
+
+    Same Barrett construction as mod_const; exposed for shard routing
+    (owner = pos // shard_bits, local = pos %% shard_bits)."""
+    if m <= 0:
+        raise ValueError("modulus must be positive")
+    if m == 1:
+        return v, full_like(v, 0)
+    if (m & (m - 1)) == 0:  # power of two
+        return shr(v, m.bit_length() - 1), and_const(v, m - 1)
+    p = m.bit_length()
+    magic = ((1 << (63 + p)) // m)
+    q = shr(mulhi(v, from_u64_int(magic)), p - 1)
+    r = sub(v, mul_const(q, m))
+    m64 = full_like(v, m)
+    over = ge(r, m64)
+    one = full_like(v, 1)
+    q = select(over, add(q, one), q)
+    r = select(over, sub(r, m64), r)
+    return q, r
+
+
 def mod_to_index(v: U64, m: int) -> jax.Array:
     """v % m returned as a int32/uint32-addressable index.
 

@@ -118,28 +118,35 @@ def _default_cap(n: int, p: int) -> int:
     return max(c, 1)
 
 
-def _route_sorted(positions: jax.Array, valid: jax.Array, shard_bits: int,
-                  p: int):
-    """Owner-sort positions for round-based routing.
+def route_prepare(payload: jax.Array, owner: jax.Array, p: int):
+    """Owner-sort a uint32 payload for round-based routing.
 
-    Returns (pos_s, owner_s, slot, order, counts): positions sorted by
-    owning shard, each entry's within-owner slot, the sort permutation, and
-    per-owner counts. Invalid positions get owner p (sort last). positions
-    uint32 [N] are *global* bit positions (routing requires size <= 2**32
-    bits)."""
-    n = positions.shape[0]
-    sentinel = jnp.uint32(0xFFFFFFFF)
-    pos = jnp.where(valid, positions.astype(jnp.uint32), sentinel)
-    owner = jnp.minimum(pos // jnp.uint32(shard_bits), jnp.uint32(p - 1))
-    owner = jnp.where(valid, owner, jnp.uint32(p))  # invalid sorts last
+    ``owner`` is each entry's destination shard in [0, p), or p for
+    entries to drop (they sort last and are never sent). Returns
+    (payload_s, owner_s, slot, order, counts): payload sorted by owner,
+    each entry's within-owner slot, the sort permutation, and per-owner
+    counts."""
+    n = payload.shape[0]
     order = jnp.argsort(owner)
     owner_s = owner[order]
-    pos_s = pos[order]
+    payload_s = payload[order]
     counts = jnp.bincount(owner_s.astype(jnp.int32), length=p + 1)[:p]
     starts = jnp.concatenate([jnp.zeros(1, counts.dtype),
                               jnp.cumsum(counts)[:-1]])
     slot = jnp.arange(n) - starts[jnp.minimum(owner_s, p - 1)]
-    return pos_s, owner_s, slot, order, counts
+    return payload_s, owner_s, slot, order, counts
+
+
+def _route_sorted(positions: jax.Array, valid: jax.Array, shard_bits: int,
+                  p: int):
+    """Owner-sort *global bit positions* (uint32, so size <= 2**32 bits)
+    for round-based routing; see route_prepare. Invalid positions get
+    owner p (dropped)."""
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    pos = jnp.where(valid, positions.astype(jnp.uint32), sentinel)
+    owner = jnp.minimum(pos // jnp.uint32(shard_bits), jnp.uint32(p - 1))
+    owner = jnp.where(valid, owner, jnp.uint32(p))  # invalid sorts last
+    return route_prepare(pos, owner, p)
 
 
 def _round_sendbuf(pos_s, owner_s, slot, p: int, cap: int, rnd):

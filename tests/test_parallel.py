@@ -165,3 +165,106 @@ def test_dp_counting_insert_all_matches_single(mesh):
     hits, valid = dist_counting.dp_contains_seq(mesh, cbf2, codes)
     expect = np.asarray(counting.contains(cbf1, f.hashes) & f.valid)
     np.testing.assert_array_equal(np.asarray(hits), expect)
+
+
+# ---------------------------------------------------------------------------
+# sharded MIBF: bit-identical to the single-device pipeline
+# ---------------------------------------------------------------------------
+
+def _mibf_single_build(size, k, h, seqs, data_width=2, saturate=True):
+    from btl_bloomfilter_tpu.models import mibf_construct as construct
+
+    state = construct.BitVectorState(
+        bv_words=jnp.zeros(size // 32, jnp.uint32), filter_size=size,
+        kmer_size=k, hash_num=h, occupancy=0.5, sseeds=())
+    frames = [nthash.hash_frames(jnp.asarray(c), k, h) for c in seqs]
+    for f in frames:
+        state = construct.insert_bv(state, f.hashes, f.valid)
+    m, counts = construct.get_empty_mibf(state, data_width=data_width)
+    for i, f in enumerate(frames):
+        m, counts = construct.insert_mibf(m, counts, f.hashes, i + 1,
+                                          f.valid)
+    if saturate:
+        for i, f in enumerate(frames):
+            m, counts = construct.insert_saturation(m, counts, f.hashes,
+                                                    i + 1, f.valid)
+    return m, counts, frames
+
+
+@pytest.mark.parametrize("nw_per", [64, 37])  # 37: non-power-of-2 shards
+def test_sharded_mibf_build_and_query_matches_single(mesh, nw_per):
+    from btl_bloomfilter_tpu.models import mibf as mibf_mod
+    from btl_bloomfilter_tpu.parallel import dist_mibf
+
+    k, h, p = 9, 3, 8
+    size = p * 32 * nw_per
+    seqs = [rand_codes(8, 40, seed=20 + i) for i in range(3)]
+    m1, counts1, frames = _mibf_single_build(size, k, h, seqs,
+                                             saturate=False)
+
+    # sharded phases 1-3
+    bvw = jax.device_put(jnp.zeros((p, nw_per), jnp.uint32),
+                         mesh_lib.sharded(mesh))
+    for f in frames:
+        bvw = dist_mibf.insert_bv(mesh, bvw, size, f.hashes, f.valid)
+    np.testing.assert_array_equal(np.asarray(bvw).reshape(-1),
+                                  np.asarray(m1.bv_words))
+
+    sm = dist_mibf.freeze(mesh, bvw, size, h, k, data_width=2)
+    assert sm.d_size == m1.d_size
+    for i, f in enumerate(frames):
+        sm = dist_mibf.insert_mibf(mesh, sm, f.hashes, i + 1, f.valid)
+
+    g, gcounts = dist_mibf.to_single(sm)
+    np.testing.assert_array_equal(np.asarray(g.data), np.asarray(m1.data))
+    np.testing.assert_array_equal(np.asarray(gcounts), np.asarray(counts1))
+
+    # sharded phase 4 == single-device phase 4
+    from btl_bloomfilter_tpu.models import mibf_construct as construct
+    m1s, counts1s = m1, counts1
+    sms = sm
+    for i, f in enumerate(frames):
+        m1s, counts1s = construct.insert_saturation(m1s, counts1s,
+                                                    f.hashes, i + 1, f.valid)
+        sms = dist_mibf.insert_saturation(mesh, sms, f.hashes, i + 1,
+                                          f.valid)
+    gs, _ = dist_mibf.to_single(sms)
+    np.testing.assert_array_equal(np.asarray(gs.data), np.asarray(m1s.data))
+
+    # sharded query: at_rank_data must agree with single-device
+    qf = nthash.hash_frames(jnp.asarray(rand_codes(8, 30, seed=99)), k, h)
+    r1, h1, raw1 = mibf_mod.at_rank_data(m1s, qf.hashes)
+    r2, h2, raw2 = dist_mibf.at_rank_data(mesh, sms, qf.hashes)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(raw1), np.asarray(raw2))
+
+
+def test_sharded_mibf_saturate_matches_single(mesh):
+    from btl_bloomfilter_tpu.models import mibf as mibf_mod
+    from btl_bloomfilter_tpu.parallel import dist_mibf
+
+    k, h, p = 7, 3, 8
+    size = p * 32 * 32
+    seqs = [rand_codes(8, 30, seed=40 + i) for i in range(2)]
+    m1, _, frames = _mibf_single_build(size, k, h, seqs, saturate=False)
+
+    bvw = jax.device_put(jnp.zeros((p, size // p // 32), jnp.uint32),
+                         mesh_lib.sharded(mesh))
+    for f in frames:
+        bvw = dist_mibf.insert_bv(mesh, bvw, size, f.hashes, f.valid)
+    sm = dist_mibf.freeze(mesh, bvw, size, h, k, data_width=2)
+    for i, f in enumerate(frames):
+        sm = dist_mibf.insert_mibf(mesh, sm, f.hashes, i + 1, f.valid)
+        m1, _c = __import__(
+            "btl_bloomfilter_tpu.models.mibf_construct",
+            fromlist=["insert_mibf"]).insert_mibf(
+                m1, jnp.zeros(m1.d_size, m1.data.dtype) if i == 0 else _c0,
+                f.hashes, i + 1, f.valid)
+        _c0 = _c
+
+    # saturate via frames of seq 0: sat bits must agree
+    m1sat = mibf_mod.saturate(m1, frames[0].hashes)
+    smsat = dist_mibf.saturate(mesh, sm, frames[0].hashes)
+    g, _ = dist_mibf.to_single(smsat)
+    np.testing.assert_array_equal(np.asarray(g.data), np.asarray(m1sat.data))
