@@ -409,3 +409,22 @@ def calc_frame_probs(mibf: MIBloomFilter, num_ids: int, allowed_miss: int):
             occupancy, mibf.hash_num, counts[i] / total if total else 0.0,
             allowed_miss)
     return probs, sat_prop
+
+
+def calc_frame_probs_strand(mibf: MIBloomFilter, num_ids: int,
+                            allowed_miss: int):
+    """calcFrameProbsStrand (MIBloomFilter.hpp:683-707): like
+    calc_frame_probs but counting IDs with getIDCountsStrand, and — a
+    reference quirk — normalizing by the sum over the WHOLE count table
+    (index 0 included), not just IDs >= 1."""
+    occupancy = mibf.d_size / mibf.size
+    counts, sat = get_id_counts_strand(mibf, num_ids)
+    counts = np.asarray(counts)
+    total = int(counts.sum())
+    sat_prop = float(sat) / total if total else 0.0
+    probs = [0.0] * num_ids
+    for i in range(1, num_ids):
+        probs[i] = calc_prob_single_frame(
+            occupancy, mibf.hash_num, counts[i] / total if total else 0.0,
+            allowed_miss)
+    return probs, sat_prop

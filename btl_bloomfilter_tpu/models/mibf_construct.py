@@ -424,3 +424,172 @@ def insert_random_order(m: MIBloomFilter, hashes_np: np.ndarray,
                     results.append(True)
     m = dataclasses.replace(m, data=jnp.asarray(data))
     return m, np.array(results, dtype=bool)
+
+
+# ---------------------------------------------------------------------------
+# MIBloomFilter::insert — device-side batch path (lax.scan, no host sync)
+# ---------------------------------------------------------------------------
+
+_MINSTD_MOD = 2147483647
+_MINSTD_MULT = 48271
+
+
+def _minstd_next_dev(x: jax.Array) -> jax.Array:
+    """One std::minstd_rand step on a traced uint32 state (utils.stdcpp
+    mirror, golden-verified against libstdc++)."""
+    prod = u64.mul_const(U64(jnp.zeros_like(x), x), _MINSTD_MULT)
+    return u64.mod_const(prod, _MINSTD_MOD).lo
+
+
+def _uniform_int_dev(x: jax.Array, a: int, b: int):
+    """libstdc++ uniform_int_distribution over a static range [a, b] with
+    a traced engine state (rejection loop as lax.while_loop)."""
+    urngrange = _MINSTD_MOD - 2
+    uerange = b - a + 1
+    scaling = urngrange // uerange
+    past = jnp.uint32(uerange * scaling)
+
+    def draw(x):
+        x2 = _minstd_next_dev(x)
+        return x2, x2 - jnp.uint32(1)
+
+    x, ret = draw(x)
+    x, ret = jax.lax.while_loop(lambda c: c[1] >= past,
+                                lambda c: draw(c[0]), (x, ret))
+    return x, (ret // jnp.uint32(scaling)).astype(jnp.int32) + a
+
+
+def _gen_two_uniform_ints_dev(x: jax.Array, b0: int, b1: int):
+    x, v = _uniform_int_dev(x, 0, b0 * b1 - 1)
+    return x, v // b1, v % b1
+
+
+def _shuffle_dev(x: jax.Array, vec: jax.Array, n: int):
+    """std::shuffle of vec's first ``n`` (static) entries with a traced
+    minstd state; mirrors utils.stdcpp.shuffle (bits/stl_algo.h's
+    two-swaps-per-draw path, valid while urngrange/n >= n)."""
+    if n <= 1:
+        return x, vec
+    assert (_MINSTD_MOD - 2) // n >= n
+
+    def swap(v, i, j):
+        vi, vj = v[i], v[j]
+        return v.at[i].set(vj).at[j].set(vi)
+
+    i = 1
+    if n % 2 == 0:
+        x, j = _uniform_int_dev(x, 0, 1)
+        vec = swap(vec, 1, j)
+        i = 2
+    while i < n:
+        sr = i + 1
+        x, p0, p1 = _gen_two_uniform_ints_dev(x, sr, sr + 1)
+        vec = swap(vec, i, p0)
+        i += 1
+        if i == n:
+            break
+        vec = swap(vec, i, p1)
+        i += 1
+    return x, vec
+
+
+def insert_random_order_device(m: MIBloomFilter, hashes: U64, id_value: int,
+                               max_count: int, strand=None, valid=None):
+    """Device-resident MIBloomFilter::insert (MIBloomFilter.hpp:312-438):
+    per-frame random-order non-overwriting insertion with the exact
+    minstd_rand + std::shuffle slot ordering and saturation fallback, as a
+    lax.scan over frames (bit-identical to the host mirror
+    insert_random_order, which is itself golden-verified). Supports the
+    strand-aware overload (MIBloomFilter.hpp:312-373) via ``strand``
+    bool[..., h]. Returns (mibf, success bool[...])."""
+    h = hashes.hi.shape[-1]
+    pos = mibf_mod.positions(m, hashes).reshape(-1, h)
+    n = pos.shape[0]
+    hi = hashes.hi.reshape(-1, h)
+    lo = hashes.lo.reshape(-1, h)
+    if strand is None:
+        st = jnp.zeros((n, h), bool)
+    else:
+        st = jnp.asarray(strand).reshape(-1, h)
+    if valid is None:
+        v = jnp.ones((n,), bool)
+    else:
+        v = jnp.broadcast_to(jnp.asarray(valid),
+                             hashes.hi.shape[:-1]).reshape(-1)
+
+    dtype = m.data.dtype
+    smask = jnp.asarray(m.s_mask, dtype)
+    anti = jnp.asarray(m.s_anti_mask, dtype)
+    idv = jnp.asarray(id_value, dtype)
+    sstrand = jnp.asarray(m.s_strand, dtype)
+    strand_dir = bool(max_count % 2)
+    use_strand = strand is not None
+    bv_words = m.bv_words
+    cum = m.cum_ranks
+
+    branches = [partial(_shuffle_dev, n=nn)
+                for nn in range(h + 1)]
+
+    def step(data, inp):
+        p, hi_r, lo_r, st_r, ok = inp
+        word = (p >> 5).astype(jnp.int32)
+        before = bv_words[word] & ((jnp.uint32(1) << (p & 31)) - 1)
+        rk = (cum[word] + jax.lax.population_count(before)).astype(jnp.int32)
+        if use_strand:
+            vals = jnp.where(jnp.logical_xor(strand_dir, st_r),
+                             idv | sstrand, idv)
+        else:
+            vals = jnp.broadcast_to(idv, (h,))
+
+        # phase A: count already-set slots, collect disagreeing slots
+        count = jnp.int32(0)
+        saturated = jnp.asarray(True)
+        done = ~ok
+        in_order = jnp.zeros((h,), bool)
+        r_hi = jnp.zeros((), jnp.uint32)
+        r_lo = jnp.asarray(np.uint32(id_value & 0xFFFFFFFF))
+        r_hi = r_hi + jnp.uint32((id_value >> 32) & 0xFFFFFFFF)
+        for i in range(h):
+            active = ~done
+            old = data[rk[i]]
+            oldv = jnp.where(old > smask, old & anti, old)
+            saturated = saturated & jnp.where(active, old > smask, True)
+            eq = oldv == vals[i]
+            count = count + jnp.where(active & eq, 1, 0)
+            in_order = in_order.at[i].set(active & ~eq)
+            done = done | (count >= max_count)
+            live = ~done
+            r_hi = jnp.where(live, r_hi ^ hi_r[i], r_hi)
+            r_lo = jnp.where(live, r_lo ^ lo_r[i], r_lo)
+        early = done & ok
+
+        # phase B: shuffle the disagreeing slots, insert in that order
+        L = jnp.sum(in_order.astype(jnp.int32))
+        order = jnp.argsort(~in_order, stable=True).astype(jnp.int32)
+        seed = u64.mod_const(U64(r_hi, r_lo), _MINSTD_MOD).lo
+        seed = jnp.where(seed == 0, jnp.uint32(1), seed)
+        _, order = jax.lax.switch(L, branches, seed, order)
+
+        for j in range(h):
+            slot = order[j]
+            alive = ok & (j < L) & ~done
+            rkj = rk[slot]
+            old = data[rkj]
+            do_set = alive & (old == 0)
+            data = data.at[rkj].set(jnp.where(do_set, vals[slot], old))
+            saturated = saturated & jnp.where(alive, old > smask, True)
+            count = count + jnp.where(alive & (old == 0), 1, 0)
+            done = done | (count >= max_count)
+
+        # saturation fallback (count == 0 and not saturated => saturate;
+        # the reference asserts max == 1 on this path)
+        need_sat = ok & (count == 0) & ~saturated
+        satv = jnp.where(need_sat, data[rk] | smask, data[rk])
+        data = data.at[rk].set(satv)
+        success = ok & (count > 0)
+        return data, success | early
+
+    data, success = jax.lax.scan(
+        step, m.data, (pos, hi, lo, st, v))
+    return dataclasses.replace(m, data=data), \
+        success.reshape(hashes.hi.shape[:-1])

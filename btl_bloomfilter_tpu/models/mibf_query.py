@@ -229,6 +229,74 @@ def query_device_batch(m: MIBloomFilter, hashes: U64, valid,
                             num_ids, extra_frame_limit)
 
 
+def interleave_paired_frames(fr1, fr2, valid1, valid2):
+    """Device-side paired-end frame interleave (MIBFQuerySupport.hpp:111-130).
+
+    The reference alternates iterators while both have frames and drains
+    the survivor afterwards. Closed form over valid-frame ordinals: with
+    n1/n2 valid frames and m = min(n1, n2), interleave slot k takes read 1
+    iff (k < 2m and k even) or (k >= 2m and n1 >= n2), at within-read
+    valid-ordinal k//2 (both alive) or k - m (drain). Everything is
+    computed with sorts/gathers inside jit — no host sync.
+
+    fr1/fr2 are tuples (raw, hit, usable, misses) shaped [R, W, h] /
+    [R, W]; valid marks iterator-yielded frames. Returns interleaved
+    (raw, hit, usable, misses) with W1+W2 slots per read pair (dead slots
+    masked invalid)."""
+    raw1, hit1, u1, mi1 = fr1
+    raw2, hit2, u2, mi2 = fr2
+    v1 = jnp.asarray(valid1)
+    v2 = jnp.asarray(valid2)
+    R, W1 = v1.shape
+    W2 = v2.shape[1]
+    K = W1 + W2
+    n1 = jnp.sum(v1, axis=1).astype(jnp.int32)          # [R]
+    n2 = jnp.sum(v2, axis=1).astype(jnp.int32)
+    mmin = jnp.minimum(n1, n2)[:, None]                  # [R, 1]
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]          # [1, K]
+    both = k < 2 * mmin
+    from1 = jnp.where(both, k % 2 == 0, (n1 >= n2)[:, None])
+    ordinal = jnp.where(both, k // 2, k - mmin)
+    live = k < (n1 + n2)[:, None]
+
+    # j-th valid frame's index: stable argsort puts valid indices first
+    ord1 = jnp.argsort(~v1, axis=1, stable=True)         # [R, W1]
+    ord2 = jnp.argsort(~v2, axis=1, stable=True)
+    i1 = jnp.take_along_axis(ord1, jnp.clip(ordinal, 0, W1 - 1), axis=1)
+    i2 = jnp.take_along_axis(ord2, jnp.clip(ordinal, 0, W2 - 1), axis=1)
+
+    def pick(a1, a2):
+        x1 = jnp.take_along_axis(a1, i1, axis=1)
+        x2 = jnp.take_along_axis(a2, i2, axis=1)
+        return jnp.where(from1, x1, x2)
+
+    def pick3(a1, a2):
+        x1 = jnp.take_along_axis(a1, i1[..., None], axis=1)
+        x2 = jnp.take_along_axis(a2, i2[..., None], axis=1)
+        return jnp.where(from1[..., None], x1, x2)
+
+    raw = pick3(raw1, raw2)
+    hit = pick3(hit1, hit2)
+    usable = pick(u1, u2) & live
+    misses = jnp.where(live, pick(mi1, mi2), jnp.int32(0))
+    return raw, hit, usable, misses
+
+
+def query_paired_device_batch(m: MIBloomFilter, hashes1: U64, valid1,
+                              hashes2: U64, valid2, min_count: jax.Array,
+                              max_miss: int, num_ids: int,
+                              extra_frame_limit: int):
+    """Batched paired-end classification, hashes U64[R, W, h] per end:
+    rank/ID gathers for both ends ride one fused dispatch, the interleave
+    is computed on device, and the per-pair scans are vmapped."""
+    fr1 = prep_frames(m, hashes1, valid1, max_miss)
+    fr2 = prep_frames(m, hashes2, valid2, max_miss)
+    raw, hit, usable, misses = interleave_paired_frames(
+        fr1, fr2, valid1, valid2)
+    return query_scan_batch(m, raw, hit, usable, misses, min_count,
+                            num_ids, extra_frame_limit)
+
+
 def query_scan_batch(m: MIBloomFilter, frame_raw: jax.Array,
                      frame_hit: jax.Array, frame_valid: jax.Array,
                      frame_misses: jax.Array, min_count: jax.Array,
@@ -423,31 +491,62 @@ class MIBFQuerySupport:
                      min_count_vec) -> List[QueryResult]:
         """Paired-end query (MIBFQuerySupport.hpp:111-130): frames of the
         two reads interleaved, falling back to whichever read still has
-        frames."""
-        r1, h1, u1, m1 = self._prep(hashes1, valid1)
-        r2, h2, u2, m2 = self._prep(hashes2, valid2)
-        # build the interleaved order host-side from the valid masks
-        v1 = np.nonzero(np.asarray(jnp.asarray(valid1)))[0]
-        v2 = np.nonzero(np.asarray(jnp.asarray(valid2)))[0]
-        order = []  # (which, idx)
-        i = j = 0
-        fc = 0
-        while i < len(v1) or j < len(v2):
-            use1 = (fc % 2 == 0 and i < len(v1)) or j >= len(v2)
-            if use1:
-                order.append((0, v1[i])); i += 1
-            else:
-                order.append((1, v2[j])); j += 1
-            fc += 1
-        if not order:
-            return []
-        sel = np.array(order)
-        raw = jnp.where((sel[:, 0] == 0)[:, None],
-                        jnp.asarray(r1)[sel[:, 1]],
-                        jnp.asarray(r2)[sel[:, 1]])
-        hit = jnp.where((sel[:, 0] == 0)[:, None],
-                        jnp.asarray(h1)[sel[:, 1]],
-                        jnp.asarray(h2)[sel[:, 1]])
-        usable = jnp.where(sel[:, 0] == 0, u1[sel[:, 1]], u2[sel[:, 1]])
-        misses = jnp.where(sel[:, 0] == 0, m1[sel[:, 1]], m2[sel[:, 1]])
-        return self._run(raw, hit, usable, misses, min_count_vec)
+        frames. The interleave runs on device (no per-pair host sync)."""
+        return self.query_paired_many(
+            U64(hashes1.hi[None], hashes1.lo[None]),
+            jnp.asarray(valid1)[None],
+            U64(hashes2.hi[None], hashes2.lo[None]),
+            jnp.asarray(valid2)[None], min_count_vec)[0]
+
+    def query_paired_many(self, hashes1: U64, valid1, hashes2: U64, valid2,
+                          min_count_vec) -> List[List[QueryResult]]:
+        """Batched paired-end query: hashes U64[R, W, h] per end. One
+        device dispatch (gathers + device-side interleave + vmapped
+        scans) classifies all R pairs; candidate ranking runs host-side
+        per pair."""
+        num_ids = len(self.per_frame_prob)
+        key = ("paired", hashes1.hi.shape, hashes2.hi.shape, num_ids)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                query_paired_device_batch, max_miss=self.max_miss,
+                num_ids=num_ids,
+                extra_frame_limit=self.extra_frame_limit))
+            self._jit_cache[key] = fn
+        out = fn(self.m, hashes1, jnp.asarray(valid1), hashes2,
+                 jnp.asarray(valid2), jnp.asarray(min_count_vec, jnp.int32))
+        counts = np.asarray(out["counts"])
+        cands = np.asarray(out["candidates"])
+        bests = np.asarray(out["best"])
+        self.sat_count = int(np.sum(np.asarray(out["sat_count"])))
+        self.eval_count = int(np.sum(np.asarray(out["eval_count"])))
+        return [summarize(counts[r], cands[r], bests[r],
+                          self.per_frame_prob, self.min_count,
+                          self.extra_count, self.best_hit_agree)
+                for r in range(hashes1.hi.shape[0])]
+
+    def get_match_signature(self, hashes: U64, valid):
+        """Batched getMatchSignature (MIBFQuerySupport.hpp:158-217): the
+        per-frame debug signature. Returns (match_pos int array,
+        evaluated_frames int, ids uint32[n_match, h], sat bool[n_match,
+        h]) where match rows follow window order. A frame matches when
+        its misses are within max_miss for spaced-seed filters
+        (atRank(..., m_maxMiss)) or when every position hits for plain
+        k-mer filters; per-slot entries are (value & s_antiMask,
+        saturated) for hit slots and (0, False) for missed ones."""
+        _, hit, raw = mibf_mod.at_rank_data(self.m, hashes)
+        v = np.asarray(jnp.asarray(valid))
+        misses = np.asarray(jnp.sum((~hit).astype(jnp.int32), axis=-1))
+        if self.m.sseeds:
+            match = v & (misses <= self.max_miss)
+        else:
+            match = v & (misses == 0)
+        anti = np.uint32(self.m.s_anti_mask)
+        smask = np.uint32(self.m.s_mask)
+        raw_np = np.asarray(raw)
+        hit_np = np.asarray(hit)
+        ids = np.where(hit_np, raw_np & anti, 0).astype(np.uint32)
+        sat = hit_np & (raw_np > smask)
+        match_pos = np.nonzero(match)[0]
+        evaluated = int(v.sum())
+        return match_pos, evaluated, ids[match_pos], sat[match_pos]

@@ -272,3 +272,45 @@ def test_insert_bv_colli():
     got = np.unpackbits(np.asarray(st2.bv_words).view(np.uint8),
                         bitorder="little")[:size]
     np.testing.assert_array_equal(got, bits)
+
+
+@pytest.mark.parametrize("maxc,use_strand,dup,h", [
+    (1, False, False, 4),
+    (2, True, True, 4),
+    (3, True, True, 5),
+    (1, True, False, 3),
+])
+def test_insert_random_order_device_matches_host(maxc, use_strand, dup, h):
+    """insert_random_order_device (lax.scan, traced minstd/std::shuffle)
+    must be bit-identical to the golden-verified host mirror, including
+    the strand-aware overload (MIBloomFilter.hpp:312-373)."""
+    import dataclasses as _dc
+    rng = np.random.default_rng(42 + maxc)
+    hashes = rng.integers(0, 1 << 64, size=(40, h), dtype=np.uint64)
+    if dup:
+        hashes = hashes[rng.integers(0, 40, size=80)]
+    strand = rng.random(hashes.shape) < 0.5 if use_strand else None
+
+    size = 4096
+    state = mibf_construct.BitVectorState(
+        bv_words=jnp.zeros(size // 32, jnp.uint32), filter_size=size,
+        kmer_size=5, hash_num=h, occupancy=0.5, sseeds=())
+    state = mibf_construct.insert_bv(state, u64.from_numpy(hashes))
+    m0, _ = mibf_construct.get_empty_mibf(state, data_width=2)
+    d0 = np.asarray(m0.data).copy()
+    if maxc == 1:
+        # exercise the count==0 saturation fallback (only legal at max==1,
+        # MIBloomFilter.hpp:430-434)
+        d0[rng.integers(0, len(d0), size=len(d0) // 3)] = 5
+    # saturated entries exercise the s_mask stripping without ever
+    # triggering the reference's max>1 saturation assert
+    d0[rng.integers(0, len(d0), size=len(d0) // 7)] = 0x8005
+    m0 = _dc.replace(m0, data=jnp.asarray(d0))
+
+    ma, sa = mibf_construct.insert_random_order(m0, hashes, 5, maxc,
+                                                strand=strand)
+    mb, sb = mibf_construct.insert_random_order_device(
+        m0, u64.from_numpy(hashes), 5, maxc,
+        strand=None if strand is None else jnp.asarray(strand))
+    np.testing.assert_array_equal(np.asarray(ma.data), np.asarray(mb.data))
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))

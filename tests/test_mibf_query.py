@@ -261,3 +261,121 @@ def test_query_many_matches_per_read():
         assert [q.id for q in one] == [q.id for q in got[r]]
         for a, b in zip(one, got[r]):
             assert dataclasses_equal(a, b)
+
+
+def _py_interleave(frames1, frames2):
+    """Host mirror of the reference's paired iterator alternation
+    (MIBFQuerySupport.hpp:120-125)."""
+    out, i, j, fc = [], 0, 0, 0
+    while i < len(frames1) or j < len(frames2):
+        use1 = (fc % 2 == 0 and i < len(frames1)) or j >= len(frames2)
+        if use1:
+            out.append(frames1[i]); i += 1
+        else:
+            out.append(frames2[j]); j += 1
+        fc += 1
+    return out
+
+
+def test_paired_query_matches_interleaved_mirror():
+    m, hashes = build_filter()
+    num_ids = 5
+    pfp = [0.0] + [0.1] * (num_ids - 1)
+    qs = mibf_query.MIBFQuerySupport(
+        m=m, per_frame_prob=pfp, extra_count=2.0, extra_frame_limit=10**6,
+        max_miss=0, min_count=1, best_hit_agree=False)
+    mc = np.full(num_ids, 1, np.int32)
+
+    # unequal frame counts + some invalid frames on both ends
+    v1 = np.ones(20, bool); v1[[3, 7]] = False
+    v2 = np.ones(31, bool); v2[[0, 10, 30]] = False
+    res = qs.query_paired(u64.from_numpy(hashes[100:120]), v1,
+                          u64.from_numpy(hashes[119:150]), v2, mc)
+
+    # the equivalent single stream: interleave of the VALID frames only
+    f1 = [hashes[100:120][i] for i in range(20) if v1[i]]
+    f2 = [hashes[119:150][i] for i in range(31) if v2[i]]
+    inter = np.stack(_py_interleave(f1, f2))
+    res2 = qs.query(u64.from_numpy(inter), np.ones(len(inter), bool), mc)
+    assert [ (r.id, r.count, r.non_sat_count, r.total_count)
+             for r in res ] == [
+           (r.id, r.count, r.non_sat_count, r.total_count) for r in res2]
+
+
+def test_query_paired_many_matches_sequential_paired():
+    m, hashes = build_filter()
+    num_ids = 5
+    pfp = [0.0] + [0.1] * (num_ids - 1)
+    qs = mibf_query.MIBFQuerySupport(
+        m=m, per_frame_prob=pfp, extra_count=2.0, extra_frame_limit=10**6,
+        max_miss=0, min_count=1, best_hit_agree=False)
+    mc = np.full(num_ids, 1, np.int32)
+    rng = np.random.default_rng(5)
+
+    R, W1, W2 = 3, 12, 15
+    h1 = np.stack([hashes[rng.integers(0, 150, W1)] for _ in range(R)])
+    h2 = np.stack([hashes[rng.integers(0, 150, W2)] for _ in range(R)])
+    v1 = rng.random((R, W1)) < 0.8
+    v2 = rng.random((R, W2)) < 0.8
+
+    batched = qs.query_paired_many(u64.from_numpy(h1), v1,
+                                   u64.from_numpy(h2), v2, mc)
+    for r in range(R):
+        single = qs.query_paired(u64.from_numpy(h1[r]), v1[r],
+                                 u64.from_numpy(h2[r]), v2[r], mc)
+        assert [(x.id, x.count, x.total_count) for x in batched[r]] == \
+               [(x.id, x.count, x.total_count) for x in single]
+
+
+def test_get_match_signature():
+    m, hashes = build_filter()
+    num_ids = 5
+    pfp = [0.0] + [0.1] * (num_ids - 1)
+    qs = mibf_query.MIBFQuerySupport(
+        m=m, per_frame_prob=pfp, extra_count=2.0, extra_frame_limit=10**6,
+        max_miss=0, min_count=1, best_hit_agree=False)
+    sub = hashes[40:80]
+    valid = np.ones(40, bool); valid[5] = False
+    pos, evaluated, ids, sat = qs.get_match_signature(
+        u64.from_numpy(sub), valid)
+    assert evaluated == 39
+    # numpy mirror: a frame matches iff every position's bit is set
+    cum = np.asarray(m.cum_ranks)
+    bv = np.asarray(m.bv_words)
+    data = np.asarray(m.data)
+    expect_pos = []
+    for i in range(40):
+        if not valid[i]:
+            continue
+        ok, vals, sats = True, [], []
+        for hv in sub[i]:
+            p = int(hv) % m.size
+            w, b = p >> 5, p & 31
+            hit = (bv[w] >> b) & 1
+            if not hit:
+                ok = False
+                break
+            r = int(cum[w]) + bin(bv[w] & ((1 << b) - 1)).count("1")
+            raw = int(data[r])
+            sats.append(raw > m.s_mask)
+            vals.append(raw & m.s_anti_mask)
+        if ok:
+            expect_pos.append((i, vals, sats))
+    assert list(pos) == [e[0] for e in expect_pos]
+    for row, (_, vals, sats) in zip(range(len(expect_pos)), expect_pos):
+        assert list(ids[row]) == vals
+        assert list(sat[row]) == sats
+
+
+def test_calc_frame_probs_strand_matches_mirror():
+    m, _ = build_filter()
+    num_ids = 5
+    probs, sat_prop = mibf.calc_frame_probs_strand(m, num_ids, 0)
+    counts, satc = mibf.get_id_counts_strand(m, num_ids)
+    counts = np.asarray(counts)
+    total = int(counts.sum())   # strand variant sums the WHOLE table
+    occ = m.d_size / m.size
+    assert sat_prop == (float(satc) / total if total else 0.0)
+    for i in range(1, num_ids):
+        assert probs[i] == mibf.calc_prob_single_frame(
+            occ, m.hash_num, counts[i] / total, 0)
