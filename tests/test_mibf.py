@@ -274,24 +274,34 @@ def test_insert_bv_colli():
     np.testing.assert_array_equal(got, bits)
 
 
-@pytest.mark.parametrize("maxc,use_strand,dup,h", [
-    (1, False, False, 4),
-    (2, True, True, 4),
-    (3, True, True, 5),
-    (1, True, False, 3),
+@pytest.mark.parametrize("maxc,use_strand,dup,h,size", [
+    (1, False, False, 4, 4096),   # dense: saturation fallback exercised
+    (1, True, False, 3, 4096),    # strand + fallback (legal at max==1)
+    (2, False, True, 4, 4096),    # dense collisions, strandless
+    (3, False, True, 5, 4096),
+    # strand with max>1 needs a collision-free filter: a cross-frame
+    # position collision with opposite strand values reaches the
+    # reference's count==0 assert (MIBloomFilter.hpp:431), i.e. UB input
+    (2, True, True, 4, 1 << 20),
+    (3, True, True, 5, 1 << 20),
 ])
-def test_insert_random_order_device_matches_host(maxc, use_strand, dup, h):
+def test_insert_random_order_device_matches_host(maxc, use_strand, dup, h,
+                                                 size):
     """insert_random_order_device (lax.scan, traced minstd/std::shuffle)
     must be bit-identical to the golden-verified host mirror, including
     the strand-aware overload (MIBloomFilter.hpp:312-373)."""
     import dataclasses as _dc
     rng = np.random.default_rng(42 + maxc)
     hashes = rng.integers(0, 1 << 64, size=(40, h), dtype=np.uint64)
-    if dup:
-        hashes = hashes[rng.integers(0, 40, size=80)]
+    # strand is a function of the k-mer (canonical-strand bit), so
+    # duplicate frames must carry identical strand rows
     strand = rng.random(hashes.shape) < 0.5 if use_strand else None
+    if dup:
+        idx = rng.integers(0, 40, size=80)
+        hashes = hashes[idx]
+        if strand is not None:
+            strand = strand[idx]
 
-    size = 4096
     state = mibf_construct.BitVectorState(
         bv_words=jnp.zeros(size // 32, jnp.uint32), filter_size=size,
         kmer_size=5, hash_num=h, occupancy=0.5, sseeds=())
@@ -300,11 +310,9 @@ def test_insert_random_order_device_matches_host(maxc, use_strand, dup, h):
     d0 = np.asarray(m0.data).copy()
     if maxc == 1:
         # exercise the count==0 saturation fallback (only legal at max==1,
-        # MIBloomFilter.hpp:430-434)
+        # MIBloomFilter.hpp:430-434) plus saturated-entry stripping
         d0[rng.integers(0, len(d0), size=len(d0) // 3)] = 5
-    # saturated entries exercise the s_mask stripping without ever
-    # triggering the reference's max>1 saturation assert
-    d0[rng.integers(0, len(d0), size=len(d0) // 7)] = 0x8005
+        d0[rng.integers(0, len(d0), size=len(d0) // 7)] = 0x8005
     m0 = _dc.replace(m0, data=jnp.asarray(d0))
 
     ma, sa = mibf_construct.insert_random_order(m0, hashes, 5, maxc,
