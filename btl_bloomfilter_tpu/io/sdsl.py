@@ -14,12 +14,20 @@ format from the sdsl-lite layout:
                                      per 512-bit superblock, one cumulative
                                      rank word followed by eight 64-bit
                                      data words (interleaved layout)
-  int_vector<64> m_rank_samples      select acceleration samples; written
-                                     empty here (loader does not need them)
+  int_vector<64> m_rank_samples      binary-search-tree samples over the
+                                     superblock cumulative ranks (sdsl's
+                                     select acceleration): a BFS of the
+                                     [0, nblocks) midpoints, each sample
+                                     the midpoint superblock's cumulative
+                                     rank word
 
-Round-trips through this module are byte-stable and rank-consistent; exact
-byte parity against genuine sdsl-lite output is untestable in this
-environment and flagged in docs/PARITY.md as a known risk.
+Round-trips through this module are byte-stable and rank-consistent, and
+``deserialize_bit_vector_il`` validates the samples against the
+interleaved rank words (so a file whose tree disagrees with its data is
+rejected). Exact byte parity against genuine sdsl-lite output is
+untestable in this environment (no sdsl source, no network); the residual
+risks are the rank-sample vector's LENGTH convention and any trailing
+total-rank word — both documented in docs/PARITY.md.
 """
 
 from __future__ import annotations
@@ -30,6 +38,27 @@ import numpy as np
 
 BLOCKSIZE = 512
 _WORDS_PER_BLOCK = BLOCKSIZE // 64
+
+
+def _rank_samples(block_ranks: np.ndarray) -> np.ndarray:
+    """Select-acceleration tree: BFS over [0, nblocks) midpoints storing
+    the midpoint superblock's cumulative rank. Depth-limited to the
+    complete-tree size 2**ceil(log2(nblocks)) - 1."""
+    nblocks = int(block_ranks.shape[0])
+    if nblocks <= 1:
+        return np.zeros(0, dtype="<u8")
+    depth = max(1, (nblocks - 1).bit_length())
+    cap = (1 << depth) - 1
+    out = []
+    queue = [(0, nblocks)]
+    while queue and len(out) < cap:
+        lb, rb = queue.pop(0)
+        if lb < rb:
+            mid = lb + (rb - lb) // 2
+            out.append(block_ranks[mid])
+            queue.append((lb, mid))
+            queue.append((mid + 1, rb))
+    return np.asarray(out, dtype="<u8")
 
 
 def _words64_from_bits(bits_u32: np.ndarray, size_bits: int) -> np.ndarray:
@@ -71,16 +100,22 @@ def serialize_bit_vector_il(bits_u32: np.ndarray, size_bits: int) -> bytes:
         interleaved[base + 1: base + 1 + chunk.shape[0]] = chunk
         cum = cum + popc[b * _WORDS_PER_BLOCK:(b + 1) * _WORDS_PER_BLOCK].sum()
 
+    samples = _rank_samples(
+        interleaved.reshape(nblocks, _WORDS_PER_BLOCK + 1)[:, 0])
+
     out = bytearray()
     out += struct.pack("<Q", size_bits)                      # m_size
     out += struct.pack("<Q", 64 * interleaved.shape[0])      # m_data bit-size
     out += interleaved.tobytes()
-    out += struct.pack("<Q", 0)                              # empty samples
+    out += struct.pack("<Q", 64 * samples.shape[0])          # samples bitsize
+    out += samples.tobytes()
     return bytes(out)
 
 
 def deserialize_bit_vector_il(buf: bytes):
-    """Parse bit_vector_il<512> bytes -> (bits_u32, size_bits)."""
+    """Parse bit_vector_il<512> bytes -> (bits_u32, size_bits). The
+    rank-sample tree, when present, is validated against the interleaved
+    rank words (corrupt/mismatched files are rejected)."""
     size_bits = struct.unpack_from("<Q", buf, 0)[0]
     data_bits = struct.unpack_from("<Q", buf, 8)[0]
     nwords = data_bits // 64
@@ -88,6 +123,17 @@ def deserialize_bit_vector_il(buf: bytes):
     # strip the per-superblock rank words
     nblocks = nwords // (_WORDS_PER_BLOCK + 1)
     il = interleaved.reshape(nblocks, _WORDS_PER_BLOCK + 1)
+    off = 16 + nwords * 8
+    sample_bits = struct.unpack_from("<Q", buf, off)[0]
+    nsamples = sample_bits // 64
+    if nsamples:
+        samples = np.frombuffer(buf, dtype="<u8", count=nsamples,
+                                offset=off + 8)
+        expect = _rank_samples(il[:, 0])
+        m = min(nsamples, expect.shape[0])
+        if not np.array_equal(samples[:m], expect[:m]):
+            raise ValueError(
+                ".sdsl rank samples disagree with interleaved rank words")
     data64 = il[:, 1:].reshape(-1)
     n64 = (size_bits + 63) // 64
     return _bits_u32_from_words64(data64[:n64], size_bits), size_bits

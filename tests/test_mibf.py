@@ -322,3 +322,28 @@ def test_insert_random_order_device_matches_host(maxc, use_strand, dup, h,
         strand=None if strand is None else jnp.asarray(strand))
     np.testing.assert_array_equal(np.asarray(ma.data), np.asarray(mb.data))
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def test_sdsl_rank_samples_roundtrip_and_validation():
+    from btl_bloomfilter_tpu.io import sdsl as sdsl_io
+
+    rng = np.random.default_rng(4)
+    size_bits = 5000  # multiple superblocks + a partial one
+    bits = rng.integers(0, 1 << 32, size=(size_bits + 31) // 32,
+                        dtype=np.uint32)
+    buf = sdsl_io.serialize_bit_vector_il(bits, size_bits)
+    back, sz = sdsl_io.deserialize_bit_vector_il(buf)
+    assert sz == size_bits
+    mask_last = (1 << (size_bits % 32)) - 1
+    expect = bits.copy()
+    expect[-1] &= mask_last
+    got = back.copy()
+    got[-1] &= mask_last
+    np.testing.assert_array_equal(got, expect)
+    # serialization is deterministic
+    assert buf == sdsl_io.serialize_bit_vector_il(bits, size_bits)
+    # samples are present and validated: corrupting one must be caught
+    bad = bytearray(buf)
+    bad[-4] ^= 0xFF
+    with pytest.raises(ValueError):
+        sdsl_io.deserialize_bit_vector_il(bytes(bad))
