@@ -221,3 +221,251 @@ class CountingBloomFilter:
     def loadFilter(self, path: str) -> None:
         self._cbf = bf_format.load_counting(path,
                                             self._cbf.count_threshold)
+
+
+# ---------------------------------------------------------------------------
+# MIBF stack (MIBloomFilter.hpp / MIBFConstructSupport.hpp /
+# MIBFQuerySupport.hpp)
+# ---------------------------------------------------------------------------
+
+class MIBloomFilter:
+    """Mirror of MIBloomFilter<T> (/root/reference/MIBloomFilter.hpp).
+
+    Constructors:
+      MIBloomFilter(path)                       — load (.mibf + .sdsl),
+                                                  MIBloomFilter.hpp:149-261
+      MIBloomFilter(hashNum, kmerSize, bv, seeds=()) — freeze a populated
+        bit vector (uint32 word array or BitVectorState),
+        MIBloomFilter.hpp:122-147
+    """
+
+    def __init__(self, *args, data_width: int = 2, size: int | None = None,
+                 sseeds: Sequence[str] = ()):
+        from .io import mibf_format
+        from .models import mibf as mibf_mod
+        from .models import mibf_construct as construct
+        self._m = None
+        if len(args) == 1 and isinstance(args[0], str):
+            self._m = mibf_format.load_mibf(args[0], data_width=data_width)
+        elif len(args) == 3:
+            hash_num, kmer_size, bv = args
+            if isinstance(bv, construct.BitVectorState):
+                self._m = mibf_mod.freeze(bv.bv_words, bv.filter_size,
+                                          hash_num, kmer_size,
+                                          data_width=data_width,
+                                          sseeds=bv.sseeds or sseeds)
+            else:
+                import jax.numpy as jnp
+                bvw = jnp.asarray(bv)
+                self._m = mibf_mod.freeze(bvw, size or bvw.shape[0] * 32,
+                                          hash_num, kmer_size,
+                                          data_width=data_width,
+                                          sseeds=sseeds)
+        else:
+            raise TypeError("bad constructor arguments")
+
+    # --- inserts (MIBloomFilter.hpp:312-438) -----------------------------
+    def insert(self, hashes, *args):
+        """insert(hashes, val, max) or insert(hashes, strand, val, max);
+        returns per-frame success (scalar bool for one frame)."""
+        from .models import mibf_construct as construct
+        arr = np.asarray(hashes, dtype=np.uint64)
+        one = arr.ndim == 1
+        if one:
+            arr = arr[None]
+        if len(args) == 2:
+            val, mx = args
+            strand = None
+        else:
+            strand, val, mx = args
+            strand = np.asarray(strand, bool).reshape(arr.shape)
+        self._m, ok = construct.insert_random_order_device(
+            self._m, u64.from_numpy(arr), int(val), int(mx), strand=strand)
+        ok = np.asarray(ok)
+        return bool(ok[0]) if one else ok
+
+    def saturate(self, hashes) -> None:
+        """MIBloomFilter.hpp:440-446."""
+        from .models import mibf as mibf_mod
+        arr = np.asarray(hashes, dtype=np.uint64)
+        self._m = mibf_mod.saturate(self._m, u64.from_numpy(
+            arr if arr.ndim > 1 else arr[None]))
+
+    # --- queries ----------------------------------------------------------
+    def at(self, hashes, maxMiss: int = 0):
+        """MIBloomFilter.hpp:448-472: returns (values, ok, saturated)."""
+        from .models import mibf as mibf_mod
+        arr = np.asarray(hashes, dtype=np.uint64)[None]
+        vals, ok, sat = mibf_mod.at(self._m, u64.from_numpy(arr), maxMiss)
+        return (np.asarray(vals)[0], bool(np.asarray(ok)[0]),
+                bool(np.asarray(sat)[0]))
+
+    def atRank(self, hashes):
+        """MIBloomFilter.hpp:478-515: (hit, ranks)."""
+        from .models import mibf as mibf_mod
+        arr = np.asarray(hashes, dtype=np.uint64)[None]
+        rank, hit = mibf_mod.at_rank(self._m, u64.from_numpy(arr))
+        return bool(np.asarray(hit).all()), np.asarray(rank)[0]
+
+    def getRankPos(self, hash_value: int) -> int:
+        """MIBloomFilter.hpp:517-527."""
+        from .models import mibf as mibf_mod
+        pos = int(hash_value) % self._m.size
+        import jax.numpy as jnp
+        rank, _ = mibf_mod.rank_of_positions(
+            self._m, jnp.asarray([pos], jnp.uint32))
+        return int(np.asarray(rank)[0])
+
+    def getData(self, rank) -> int:
+        return int(np.asarray(self._m.data)[int(rank)])
+
+    def setData(self, rank: int, value: int) -> None:
+        """MIBloomFilter.hpp:625-634 (saturation bit preserved)."""
+        from .models import mibf as mibf_mod
+        import jax.numpy as jnp
+        self._m = mibf_mod.set_data(
+            self._m, jnp.asarray([rank], jnp.int32),
+            jnp.asarray([value], self._m.data.dtype))
+
+    # --- stats / introspection --------------------------------------------
+    def getPop(self) -> int:
+        return self._m.d_size
+
+    def getPopNonZero(self) -> int:
+        from .models import mibf as mibf_mod
+        return int(mibf_mod.get_pop_non_zero(self._m))
+
+    def getPopSaturated(self) -> int:
+        from .models import mibf as mibf_mod
+        return int(mibf_mod.get_pop_saturated(self._m))
+
+    def getIDCounts(self, num_ids: int):
+        from .models import mibf as mibf_mod
+        counts, sat = mibf_mod.get_id_counts(self._m, num_ids)
+        return np.asarray(counts), int(sat)
+
+    def calcFrameProbs(self, num_ids: int, allowed_miss: int):
+        from .models import mibf as mibf_mod
+        return mibf_mod.calc_frame_probs(self._m, num_ids, allowed_miss)
+
+    def calcFrameProbsStrand(self, num_ids: int, allowed_miss: int):
+        from .models import mibf as mibf_mod
+        return mibf_mod.calc_frame_probs_strand(self._m, num_ids,
+                                                allowed_miss)
+
+    def getKmerSize(self) -> int:
+        return self._m.kmer_size
+
+    def getHashNum(self) -> int:
+        return self._m.hash_num
+
+    def getSeedValues(self):
+        return self._m.sseeds
+
+    def size(self) -> int:
+        return self._m.size
+
+    def store(self, path: str) -> None:
+        """MIBloomFilter.hpp:268-305 (writes .mibf main file + .sdsl)."""
+        from .io import mibf_format
+        mibf_format.store_mibf(self._m, path)
+
+
+class MIBFConstructSupport:
+    """Mirror of MIBFConstructSupport<T, H>
+    (/root/reference/MIBFConstructSupport.hpp:36-214). The hash-iterator
+    template parameter is replaced by precomputed hash arrays (uint64
+    [frames, h]) — produce them with ops.nthash / ops.seeds."""
+
+    def __init__(self, expected_entries: int, kmer_size: int, hash_num: int,
+                 occupancy: float = 0.5, spaced_seeds: Sequence[str] = ()):
+        from .models import mibf_construct as construct
+        self._state = construct.create(expected_entries, kmer_size,
+                                       hash_num, occupancy, spaced_seeds)
+        self._counts = None
+
+    def insertBV(self, hashes, valid=None) -> None:
+        """Phase 1 (MIBFConstructSupport.hpp:75-87)."""
+        from .models import mibf_construct as construct
+        arr = np.asarray(hashes, dtype=np.uint64)
+        self._state = construct.insert_bv(self._state, u64.from_numpy(arr),
+                                          valid)
+
+    def insertBVColli(self, hashes, valid=None) -> int:
+        """Phase-1 variant counting fully-collided frames
+        (MIBFConstructSupport.hpp:55-73)."""
+        from .models import mibf_construct as construct
+        arr = np.asarray(hashes, dtype=np.uint64)
+        self._state, colli = construct.insert_bv_colli(
+            self._state, u64.from_numpy(arr), valid)
+        return int(colli)
+
+    def getEmptyMIBF(self, data_width: int = 2) -> MIBloomFilter:
+        """Phase 2 (MIBFConstructSupport.hpp:92-99)."""
+        from .models import mibf_construct as construct
+        wrapper = MIBloomFilter.__new__(MIBloomFilter)
+        wrapper._m, self._counts = construct.get_empty_mibf(
+            self._state, data_width=data_width)
+        return wrapper
+
+    def insertMIBF(self, mibf: MIBloomFilter, hashes, id_value: int,
+                   valid=None) -> None:
+        """Phase 3 reservoir insertion (MIBFConstructSupport.hpp:109-130)."""
+        from .models import mibf_construct as construct
+        arr = np.asarray(hashes, dtype=np.uint64)
+        mibf._m, self._counts = construct.insert_mibf(
+            mibf._m, self._counts, u64.from_numpy(arr), id_value, valid)
+
+    def insertSaturation(self, mibf: MIBloomFilter, hashes, id_value: int,
+                         valid=None) -> None:
+        """Phase 4 (MIBFConstructSupport.hpp:132-141 / 168-214)."""
+        from .models import mibf_construct as construct
+        arr = np.asarray(hashes, dtype=np.uint64)
+        mibf._m, self._counts = construct.insert_saturation(
+            mibf._m, self._counts, u64.from_numpy(arr), id_value, valid)
+
+
+class MIBFQuerySupport:
+    """Mirror of MIBFQuerySupport<T>
+    (/root/reference/MIBFQuerySupport.hpp:33-130). Reads are passed as
+    precomputed hash arrays (uint64 [frames, h]) instead of iterators."""
+
+    def __init__(self, miBF: MIBloomFilter, perFrameProb: Sequence[float],
+                 extraCount: int, extraFrameLimit: int, maxMiss: int,
+                 minCount: int, bestHitAgree: bool):
+        from .models import mibf_query
+        self._qs = mibf_query.MIBFQuerySupport(
+            m=miBF._m, per_frame_prob=list(perFrameProb),
+            extra_count=float(extraCount),
+            extra_frame_limit=int(extraFrameLimit), max_miss=int(maxMiss),
+            min_count=int(minCount), best_hit_agree=bool(bestHitAgree))
+
+    def query(self, hashes, minCount, valid=None):
+        """MIBFQuerySupport.hpp:94-109; returns ranked QueryResult list."""
+        arr = np.asarray(hashes, dtype=np.uint64)
+        v = np.ones(arr.shape[0], bool) if valid is None else valid
+        return self._qs.query(u64.from_numpy(arr), v,
+                              np.asarray(minCount, np.int32))
+
+    def queryPaired(self, hashes1, hashes2, minCount, valid1=None,
+                    valid2=None):
+        """MIBFQuerySupport.hpp:111-130."""
+        a1 = np.asarray(hashes1, dtype=np.uint64)
+        a2 = np.asarray(hashes2, dtype=np.uint64)
+        v1 = np.ones(a1.shape[0], bool) if valid1 is None else valid1
+        v2 = np.ones(a2.shape[0], bool) if valid2 is None else valid2
+        return self._qs.query_paired(u64.from_numpy(a1), v1,
+                                     u64.from_numpy(a2), v2,
+                                     np.asarray(minCount, np.int32))
+
+    def getMatchSignature(self, hashes, valid=None):
+        """MIBFQuerySupport.hpp:158-217."""
+        arr = np.asarray(hashes, dtype=np.uint64)
+        v = np.ones(arr.shape[0], bool) if valid is None else valid
+        return self._qs.get_match_signature(u64.from_numpy(arr), v)
+
+    def getSatCount(self) -> int:
+        return self._qs.sat_count
+
+    def getEvaluatedValues(self) -> int:
+        return self._qs.eval_count

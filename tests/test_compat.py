@@ -72,3 +72,53 @@ def test_fpr_helpers():
     assert b.getHashNum() == 6  # calcOptiHashNum(0.01)
     assert compat.calcApproxFPR(10000, 100, 3) > 0
     assert compat.calcRedunancyFPR(10000, 100, 3) > 0
+
+
+# ---------------------------------------------------------------------------
+# MIBF stack facade (MIBloomFilter / MIBFConstructSupport / MIBFQuerySupport)
+# ---------------------------------------------------------------------------
+
+def test_mibf_facade_full_pipeline(tmp_path):
+    rng = np.random.default_rng(0)
+    hashes = rng.integers(0, 1 << 64, size=(100, 4), dtype=np.uint64)
+
+    cs = compat.MIBFConstructSupport(200, 11, 4, 0.5)
+    cs.insertBV(hashes[:50])
+    assert cs.insertBVColli(hashes[50:]) >= 0
+    m = cs.getEmptyMIBF()
+    cs.insertMIBF(m, hashes[:50], 1)
+    cs.insertMIBF(m, hashes[50:], 2)
+    cs.insertSaturation(m, hashes[:50], 1)
+    assert m.getPop() > 0
+    assert m.getPopNonZero() > 0
+
+    vals, ok, sat = m.at(hashes[0])
+    assert ok and len(vals) == 4
+    hit, ranks = m.atRank(hashes[0])
+    assert hit
+    assert m.getData(int(ranks[0])) in (1, 2) or m.getData(int(ranks[0])) > 0
+    rk = m.getRankPos(int(hashes[0][0]))
+    assert rk == ranks[0]
+
+    probs, satp = m.calcFrameProbs(3, 0)
+    probs2, satp2 = m.calcFrameProbsStrand(3, 0)
+    assert len(probs) == len(probs2) == 3
+
+    qs = compat.MIBFQuerySupport(m, [0.0, 0.1, 0.1], 2, 10**6, 0, 1, False)
+    res = qs.query(hashes[:50], np.ones(3, np.int32))
+    assert res and res[0].id == 1
+    res2 = qs.queryPaired(hashes[50:70], hashes[70:100],
+                          np.ones(3, np.int32))
+    assert res2 and res2[0].id == 2
+    pos, ev, ids, sat_pat = qs.getMatchSignature(hashes[:30])
+    assert ev == 30 and len(pos) == 30  # all frames were inserted
+
+    # store/load round trip + random-order insert entry point
+    p = str(tmp_path / "facade.mibf")
+    m.store(p)
+    m2 = compat.MIBloomFilter(p)
+    assert m2.getPop() == m.getPop()
+    assert m2.getKmerSize() == 11 and m2.getHashNum() == 4
+    m2.insert(hashes[0], 3, 1)   # must not raise; may saturate
+    m2.saturate(hashes[1])
+    assert m2.getPopSaturated() > 0
