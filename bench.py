@@ -1,12 +1,23 @@
 #!/usr/bin/env python3
-"""Headline benchmark: k-mer insert throughput per chip vs the C++ reference.
+"""Headline benchmark: k-mer insert + query throughput per chip vs the C++
+reference.
 
 Prints ONE JSON line:
   {"metric": "kmer_inserts_per_s", "value": N, "unit": "kmers/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "query_kmers_per_s": N, "roofline_frac": N,
+   "cpp_baseline_kmers_per_s": N}
 
-vs_baseline = TPU k-mers/s divided by the single-core C++ reference rate
-measured on this machine (the reference publishes no numbers; BASELINE.md).
+vs_baseline = TPU inserts/s divided by the single-core C++ reference rate
+measured on this machine at the SAME pinned config (the reference
+publishes no numbers; BASELINE.md). The pinned baseline config is
+k=31 h=4 size=2^30 bits, 128 reads x 2048 bases per C++ batch.
+
+roofline_frac = (minimum HBM traffic / peak bandwidth) / measured insert
+step time. The traffic model charges: codes in (B*L bytes), one positions
+write+read (2*4*N), one sort pass in+out lower bound (2*4*N), and the
+touched filter read+write (2*size/8). Everything above that fraction is
+compute (the global bitonic sort and the MXU one-hot histogram; see
+docs/PERFORMANCE.md for the measured stage budget).
 
 Workload: hash every k-mer window of random reads (k=31, h=4) and insert
 into a 2**30-bit Bloom filter — the reference README's build loop, batched.
@@ -147,20 +158,34 @@ def query_rates():
     return out
 
 
+HBM_PEAK = 819e9  # TPU v5e
+
+
+def roofline_frac(insert_rate: float) -> float:
+    """Fraction of the HBM-traffic roofline achieved by the insert step
+    (model in the module docstring)."""
+    n_pos = B * (L - K + 1) * H
+    traffic = (B * L                # codes
+               + 4 * 4 * n_pos      # positions write+read, sort in+out
+               + 2 * SIZE // 8)     # filter read + write
+    t_min = traffic / HBM_PEAK
+    t_measured = B * (L - K + 1) / insert_rate
+    return t_min / t_measured
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
-                    help="also measure query + blocked-filter rates (stderr)")
+                    help="also measure blocked-filter rates (stderr)")
     args = ap.parse_args()
 
     rate = tpu_rate()
     base = cpp_baseline()
     vs = rate / base if base else None
+    extras = query_rates()
     if args.full:
-        extras = query_rates()
-        extras["cpp_single_core_insert_kmers_per_s"] = base
         print(json.dumps({k: round(v, 1) for k, v in extras.items()
                           if v is not None}), file=sys.stderr)
     print(json.dumps({
@@ -168,6 +193,9 @@ def main():
         "value": round(rate, 1),
         "unit": "kmers/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "query_kmers_per_s": round(extras["classic_query_kmers_per_s"], 1),
+        "roofline_frac": round(roofline_frac(rate), 4),
+        "cpp_baseline_kmers_per_s": round(base, 1) if base else None,
     }))
 
 

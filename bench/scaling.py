@@ -66,7 +66,40 @@ def main():
         rate = kmers / dt
         results.append((n, rate))
         base = results[0][1] * n / results[0][0]
-        print(f"n={n}: {rate/1e6:.2f} M kmers/s "
+        print(f"dp      n={n}: {rate/1e6:8.2f} M kmers/s "
+              f"(weak-scaling efficiency {rate/base*100:.1f}%)")
+
+    # sharded filter: all_to_all position routing (insert + query)
+    from btl_bloomfilter_tpu.ops import nthash
+    sh_results = []
+    for n in args.devices:
+        if n > len(jax.devices()):
+            continue
+        mesh = mesh_lib.make_mesh(n)
+        B = args.reads_per_device * n
+        codes = jnp.asarray(rng.integers(0, 4, size=(B, args.length),
+                                         dtype=np.uint8))
+        frames = nthash.hash_frames(codes, args.k, args.h)
+        size = args.size - args.size % (n * 32)
+        sbf = dist_bloom.create_sharded(mesh, size, args.h, args.k)
+        sbf, _ = dist_bloom.sharded_insert_frames(mesh, sbf, frames.hashes,
+                                                  frames.valid)
+        got = dist_bloom.sharded_contains_frames(mesh, sbf, frames.hashes)
+        int(jnp.sum(got[:1]))
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            sbf, _ = dist_bloom.sharded_insert_frames(
+                mesh, sbf, frames.hashes, frames.valid)
+            got = dist_bloom.sharded_contains_frames(mesh, sbf,
+                                                     frames.hashes)
+        int(jnp.sum(got[:1]))
+        dt = (time.perf_counter() - t0) / reps
+        kmers = B * (args.length - args.k + 1)
+        rate = 2 * kmers / dt  # insert + query per rep
+        sh_results.append((n, rate))
+        base = sh_results[0][1] * n / sh_results[0][0]
+        print(f"sharded n={n}: {rate/1e6:8.2f} M ops/s "
               f"(weak-scaling efficiency {rate/base*100:.1f}%)")
 
 
