@@ -1,0 +1,241 @@
+"""Mosaic kernel: ring-buffered bit-scatter-OR (delta accumulation).
+
+Successor to kernels/scatter_or.py for the insert hot path. The original
+kernel read-modify-writes a 64 KB window per chunk through HBM: every grid
+step must wait for the previous step's window write before its own read
+(consecutive windows overlap), so the whole DMA schedule serializes with
+compute — measured ~3 ms of stall per 4.1M-position step
+(docs/PERFORMANCE.md).
+
+This kernel removes the HBM round-trip from the loop entirely. The filter
+is viewed as aligned *slots* of SLOT_ROWS x 128 words. A VMEM ring of S
+slot buffers tracks the current window; because positions are sorted, the
+window only moves forward:
+
+  per chunk c (window = NWIN aligned slots starting at slot s0[c]):
+    1. flush slots that fell behind s0[c]: async-write their accumulated
+       delta to the HBM delta array (each touched slot written exactly
+       once; untouched gap slots are skipped)
+    2. zero newly entered slot buffers (draining outstanding flush writes
+       first so a buffer is never zeroed mid-DMA)
+    3. MXU one-hot histogram of the chunk -> delta[NWIN*SLOT_ROWS, 128]
+       (same bf16 half-mask trick as scatter_or.py), OR-ed into the ring
+
+The HBM delta array is aliased to a zeros input, so untouched slots stay
+zero; the caller ORs it into the filter words (one fused XLA pass). Flush
+writes are fire-and-forget — the only waits are the drain before buffer
+reuse (typically issued a full chunk earlier and already complete) — so
+DMA overlaps compute instead of fencing it.
+
+Same contract as scatter_or.scatter_or_sorted: positions SORTED and
+DEDUPED (sentinel 0xFFFFFFFF padding); positions outside their chunk's
+window are counted in the overflow output and the caller re-applies the
+batch via the XLA scatter (windows guarantee (NWIN-1)*SLOT_WORDS = 16384
+words of coverage, 2x the expected span of a uniform stream at the
+densest supported load).
+
+Replaces the per-bit __sync_or_and_fetch loop of the reference
+(/root/reference/BloomFilter.hpp:185-194) at TPU batch scale.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 1024                  # positions per grid step
+SLOT_ROWS = 32                # rows (of 128 words) per aligned slot
+SLOT_WORDS = SLOT_ROWS * 128  # 4096 words per slot
+NWIN = 4                      # window = NWIN consecutive slots
+S = 8                         # ring depth in slots (must be >= NWIN + 1)
+WROWS = NWIN * SLOT_ROWS      # delta rows per chunk (160)
+_WLO = 128
+_SENT = np.uint32(0xFFFFFFFF)
+
+# state slots in the SMEM scratch
+_LO, _ZHI = 0, 1
+
+
+def _kernel(s0s_ref, pos_ref, zeros_hbm, delta_hbm, over_ref,
+            ring, st, wpend, wsem):
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    s0 = s0s_ref[c]
+    del zeros_hbm  # aliased to delta_hbm; untouched slots stay zero
+
+    @pl.when(c == 0)
+    def _init():
+        st[_LO] = s0
+        st[_ZHI] = s0
+        for b in range(S):
+            wpend[b] = 0
+
+    def _flush_one(slot_id):
+        buf = slot_id % S
+        pltpu.make_async_copy(
+            ring.at[pl.ds(buf * SLOT_ROWS, SLOT_ROWS), :],
+            delta_hbm.at[pl.ds(slot_id * SLOT_ROWS, SLOT_ROWS), :],
+            wsem.at[buf]).start()
+        wpend[buf] = 1
+
+    def _wait_buf(buf):
+        # reconstruct an equal-sized copy descriptor just to wait on this
+        # buffer's semaphore (waits are per-buffer so a fresh slot never
+        # blocks on writes issued this same step)
+        @pl.when(wpend[buf] == 1)
+        def _():
+            pltpu.make_async_copy(
+                ring.at[pl.ds(0, SLOT_ROWS), :],
+                delta_hbm.at[pl.ds(0, SLOT_ROWS), :],
+                wsem.at[buf]).wait()
+            wpend[buf] = 0
+
+    # 1. flush resident slots that fell behind the new window
+    nf = jnp.minimum(s0, st[_ZHI])
+
+    def fbody(lo, _):
+        _flush_one(lo)
+        return lo + 1, 0
+    lo, _ = lax.while_loop(lambda a: a[0] < nf,
+                           lambda a: fbody(*a), (st[_LO], 0))
+    st[_LO] = jnp.maximum(lo, s0)           # jump over untouched gap slots
+    zhi0 = jnp.maximum(st[_ZHI], s0)
+
+    # 2. zero newly entered slot buffers, waiting (per buffer) only for a
+    # still-in-flight flush write FROM that buffer — issued S-NWIN slots
+    # ago in steady state, i.e. long complete
+    def zbody(z, _):
+        buf = z % S
+        _wait_buf(buf)
+        ring[pl.ds(buf * SLOT_ROWS, SLOT_ROWS), :] = jnp.zeros(
+            (SLOT_ROWS, _WLO), jnp.uint32)
+        return z + 1, 0
+    zhi, _ = lax.while_loop(lambda a: a[0] < s0 + NWIN,
+                            lambda a: zbody(*a), (zhi0, 0))
+    st[_ZHI] = zhi
+
+    # 3. one-hot histogram of this chunk (see scatter_or.py for the
+    # lane-major / bf16-half-mask rationale; both carry over unchanged).
+    # (16-bit compares would halve the vreg count but Mosaic has no
+    # 16-bit iota on this hardware.)
+    pos = pos_ref[...]
+    live = pos != _SENT
+    word = (pos >> 5).astype(jnp.int32)
+    local = word - s0 * SLOT_WORDS
+    in_win = live & (local >= 0) & (local < NWIN * SLOT_WORDS)
+    over_ref[c] = jnp.sum((live & ~in_win).astype(jnp.int32))
+
+    lw = jnp.where(in_win, local, -1)
+    hi = lw // _WLO
+    lo_lane = jnp.where(in_win, local % _WLO, -1)
+    mask = jnp.uint32(1) << (pos & 31)
+    m_lo = (mask & 0xFFFF).astype(jnp.int32).astype(jnp.bfloat16)
+    m_hi = (mask >> 16).astype(jnp.int32).astype(jnp.bfloat16)
+
+    iota_hi = lax.broadcasted_iota(jnp.int32, (WROWS, CHUNK), 0)
+    at = (hi[None, :] == iota_hi).astype(jnp.bfloat16)         # [WROWS, C]
+    iota_lo = lax.broadcasted_iota(jnp.int32, (_WLO, CHUNK), 0)
+    bt = (lo_lane[None, :] == iota_lo).astype(jnp.bfloat16)    # [WLO, C]
+
+    dims = (((1,), (1,)), ((), ()))
+    p_lo = lax.dot_general(at, bt * m_lo[None, :], dims,
+                           preferred_element_type=jnp.float32)
+    p_hi = lax.dot_general(at, bt * m_hi[None, :], dims,
+                           preferred_element_type=jnp.float32)
+    delta = (p_lo.astype(jnp.int32).astype(jnp.uint32)
+             | (p_hi.astype(jnp.int32).astype(jnp.uint32) << 16))
+
+    # 4. OR the delta into the ring, slot by slot (static unroll)
+    for i in range(NWIN):
+        buf = ((s0 + i) % S) * SLOT_ROWS
+        blk = ring[pl.ds(buf, SLOT_ROWS), :]
+        ring[pl.ds(buf, SLOT_ROWS), :] = (
+            blk | delta[i * SLOT_ROWS:(i + 1) * SLOT_ROWS, :])
+
+    # 5. final step: flush everything still resident, then drain every
+    # outstanding write
+    @pl.when(c == nc - 1)
+    def _tail():
+        def tbody(t, _):
+            _flush_one(t)
+            return t + 1, 0
+        tlo, _ = lax.while_loop(lambda a: a[0] < st[_ZHI],
+                                lambda a: tbody(*a), (st[_LO], 0))
+        st[_LO] = tlo
+        for b in range(S):
+            _wait_buf(b)
+
+
+def scatter_or_sorted(words: jax.Array, pos_sorted: jax.Array,
+                      pos_for_base: jax.Array | None = None,
+                      interpret: bool = False):
+    """OR deduped, SORTED bit positions into `words` (uint32[nwords]).
+
+    Drop-in replacement for scatter_or.scatter_or_sorted with the
+    ring-buffered delta schedule. Returns (new_words, overflow_count);
+    caller must re-apply the batch via the XLA path when overflow > 0.
+    """
+    n = pos_sorted.shape[0]
+    nchunks = pl.cdiv(n, CHUNK)
+    npad = nchunks * CHUNK - n
+    if pos_for_base is None:
+        pos_for_base = pos_sorted
+    if npad:
+        pos_sorted = jnp.concatenate(
+            [pos_sorted, jnp.full(npad, _SENT, jnp.uint32)])
+        pos_for_base = jnp.concatenate(
+            [pos_for_base, jnp.full(npad, _SENT, jnp.uint32)])
+    nwords_orig = words.shape[0]
+    wpad = max(-nwords_orig % SLOT_WORDS, NWIN * SLOT_WORDS - nwords_orig)
+    if wpad > 0:
+        wpad += -(nwords_orig + wpad) % SLOT_WORDS
+        words = jnp.concatenate([words, jnp.zeros(wpad, jnp.uint32)])
+    nwords = words.shape[0]
+    nslots = nwords // SLOT_WORDS
+
+    # per-chunk aligned window start slot. Trailing all-sentinel chunks
+    # inherit the previous chunk's slot via the running max so the slot
+    # sequence stays non-decreasing (the ring only moves forward).
+    first = pos_for_base[:: CHUNK]
+    s0 = jnp.where(first == _SENT, 0,
+                   (first >> 5) // SLOT_WORDS).astype(jnp.int32)
+    s0 = jax.lax.associative_scan(jnp.maximum, s0)
+    s0 = jnp.clip(s0, 0, nslots - NWIN)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(int(nchunks),),
+        in_specs=[
+            pl.BlockSpec((CHUNK,), lambda c, s0s: (c,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # zeros (HBM, aliased)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),      # delta (HBM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-chunk overflow
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((S * SLOT_ROWS, _WLO), jnp.uint32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((S,), jnp.int32),
+            pltpu.SemaphoreType.DMA((S,)),
+        ],
+    )
+    delta, over = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nwords // _WLO, _WLO), jnp.uint32),
+            jax.ShapeDtypeStruct((int(nchunks),), jnp.int32),
+        ),
+        input_output_aliases={2: 0},   # zeros arg -> delta output
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(s0, pos_sorted,
+      jnp.zeros((nwords // _WLO, _WLO), jnp.uint32))
+    out = (words | delta.reshape(nwords))[:nwords_orig]
+    return out, jnp.sum(over)

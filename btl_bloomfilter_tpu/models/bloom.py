@@ -141,11 +141,11 @@ def _kernel_eligible(bf: BloomFilter) -> bool:
     """Use the Mosaic MXU scatter kernel when the filter is big enough for
     the window walk, positions fit one limb, and we are on a TPU backend
     (Pallas Mosaic does not lower on CPU outside interpret mode)."""
-    from ..kernels import scatter_or as _so
+    from ..kernels import scatter_ring as _sr
     nwords = bf.words.shape[0]
     # below one window the XLA scatter is cheap and the kernel's fixed
     # costs (window DMA per chunk) cannot win
-    return (bf.size < (1 << 32) and nwords >= _so.WIN_WORDS
+    return (bf.size < (1 << 32) and nwords >= _sr.NWIN * _sr.SLOT_WORDS
             and jax.default_backend() != "cpu")
 
 
@@ -182,9 +182,9 @@ def insert(bf: BloomFilter, hashes: U64, valid=None,
         if use_kernel is None:
             use_kernel = _kernel_eligible(bf) and bf.size < (1 << 32)
         if use_kernel:
-            from ..kernels import scatter_or as _so
+            from ..kernels import scatter_ring as _sr
             pos_d = jnp.where(keep, pos_s, sent)
-            out, over = _so.scatter_or_sorted(bf.words, pos_d,
+            out, over = _sr.scatter_or_sorted(bf.words, pos_d,
                                               pos_for_base=pos_s)
             # rare window-overflow fallback: re-apply the (idempotent)
             # whole batch through the XLA scatter

@@ -260,8 +260,24 @@ def insert(cbf: CountingBloomFilter, hashes: U64, valid=None,
                              hashes.hi.shape[:-1]).reshape(-1)
     if n <= 2:
         return insert_sequential(cbf, hashes, valid)
+    counters = insert_positions(cbf.counters, pos, v, cbf.counter_max,
+                                cbf.size, max_entangled)
+    return dataclasses.replace(cbf, counters=counters)
+
+
+def insert_positions(counters: jax.Array, pos: jax.Array, v: jax.Array,
+                     counter_max: int, size: int,
+                     max_entangled: int | None = None) -> jax.Array:
+    """Position-level core of :func:`insert` (the group-collapse +
+    entangled-replay decomposition): conservative-update ``counters``
+    (uint array[size]) with frames ``pos`` (uint32[n, h] indices < size,
+    invalid frames masked by ``v`` bool[n]), bit-identical to stream
+    order. Shared by the single-device path and the sharded distributed
+    path (parallel/dist_counting.py), which runs it on a compacted table
+    of the touched counters only."""
+    n, h = pos.shape
     sent = jnp.uint32(0xFFFFFFFF)  # > any position (size <= 2**32-1)
-    pos = jnp.where(v[:, None], pos, sent)
+    pos = jnp.where(v[:, None], pos.astype(jnp.uint32), sent)
 
     # --- 1. group by identical position multiset -------------------------
     key = jnp.sort(pos, axis=-1)                       # [n, h] frame key
@@ -308,9 +324,10 @@ def insert(cbf: CountingBloomFilter, hashes: U64, valid=None,
 
     # --- 3. closed form for untangled groups (their representatives) -----
     rep = new_grp & live_s & ~entangled_s
-    counters = _group_closed_form(cbf.counters, ks, run_len,
-                                  cbf.counters.dtype, cbf.counter_max,
-                                  rep, cbf.size)
+    counters0 = counters
+    counters = _group_closed_form(counters0, ks, run_len,
+                                  counters0.dtype, counter_max,
+                                  rep, size)
 
     # --- 4. sequential replay of entangled frames in stream order --------
     cap = max_entangled if max_entangled is not None else max(256, n // 8)
@@ -322,7 +339,7 @@ def insert(cbf: CountingBloomFilter, hashes: U64, valid=None,
     ent_pos = pos[jnp.minimum(ent_sorted, n - 1)]
     ent_ok = ent_sorted < n
 
-    dtype = cbf.counters.dtype
+    dtype = counters0.dtype
 
     def step(cs, inp):
         p, ok = inp
@@ -343,13 +360,13 @@ def insert(cbf: CountingBloomFilter, hashes: U64, valid=None,
 
     # too many entangled frames for the buffer: redo everything serially
     def full_sequential(_):
-        out, _ = jax.lax.scan(step, cbf.counters,
+        out, _ = jax.lax.scan(step, counters0,
                               (pos, v & (pos[:, 0] != sent)))
         return out
 
     counters = jax.lax.cond(n_ent > cap, full_sequential,
                             lambda _: counters, None)
-    return dataclasses.replace(cbf, counters=counters)
+    return counters
 
 
 def insert_and_check(cbf: CountingBloomFilter, hashes: U64, valid=None):

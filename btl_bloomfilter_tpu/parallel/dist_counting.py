@@ -1,25 +1,43 @@
-"""Distributed counting Bloom filter (data-parallel incrementAll).
+"""Distributed counting Bloom filters over a device mesh.
 
-The reference's incrementAll (CountingBloomFilter.hpp:165-183) is a
-saturating per-counter increment — commutative, so it distributes exactly:
-each chip scatter-adds its shard's occurrence counts into a wide (uint32)
-local histogram, histograms merge with a psum, and the saturating apply
-produces counters identical to any sequential insertion order.
+Two axes of scale-out for /root/reference/CountingBloomFilter.hpp, both
+brand-new designs (the reference is single-process shared memory):
 
-Conservative update (incrementMin) is order-dependent and does NOT admit an
-exact distributed merge; use models.counting.insert on a single stream for
-bit-exact parity, or accept the documented approximation of applying
-per-shard conservative updates then taking elementwise max.
+* **Data-parallel incrementAll** (`dp_insert_all_seq`): the reference's
+  incrementAll (CountingBloomFilter.hpp:165-183) is a saturating
+  per-counter increment — commutative, so it distributes exactly: each
+  chip scatter-adds its shard's occurrence counts into a wide (uint32)
+  local histogram, histograms merge with a psum, and the saturating apply
+  produces counters identical to any sequential insertion order.
+
+* **Sharded counter plane** (`ShardedCountingBloomFilter`): the counter
+  array is split into P contiguous range shards for filters that exceed
+  one chip's HBM. incrementAll routes occurrence counts to owners with
+  the same exact multi-round all_to_all as the sharded Bloom build;
+  queries route positions out and counter values back.
+
+* **Exact distributed conservative update** (`sharded_insert`):
+  incrementMin (CountingBloomFilter.hpp:135-162) is order-dependent, but
+  a batch only ever reads and writes the counters it touches. So: build
+  the (replicated) table of unique touched positions, fetch their values
+  from the owner shards with one psum, run the single-device batched-exact
+  decomposition (models.counting.insert_positions — group collapse +
+  entangled replay) against that compact table on every device, and
+  write each updated entry back to its owner. Bit-identical to the
+  sequential stream on the concatenated counters, while the counter plane
+  itself stays sharded.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax, shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import counting as counting_mod
 from ..ops import nthash, u64
@@ -67,3 +85,252 @@ def dp_contains_seq(mesh: Mesh, cbf: counting_mod.CountingBloomFilter,
     fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P(AXIS)),
                            out_specs=(P(AXIS), P(AXIS)), check_vma=False))
     return fn(cbf.counters, jnp.asarray(codes))
+
+
+# ---------------------------------------------------------------------------
+# sharded counter plane
+# ---------------------------------------------------------------------------
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["counters"],
+         meta_fields=["size", "hash_num", "kmer_size", "count_threshold",
+                      "counter_width", "num_shards"])
+@dataclasses.dataclass
+class ShardedCountingBloomFilter:
+    """Counter array split into ``num_shards`` contiguous range shards:
+    shard s owns counters [s*size/p, (s+1)*size/p). Place ``counters``
+    with NamedSharding(mesh, P(AXIS)) so shard i lives on device i."""
+
+    counters: jax.Array        # [p, size // p], dtype per counter_width
+    size: int                  # total number of counters
+    hash_num: int
+    kmer_size: int
+    count_threshold: int
+    counter_width: int
+
+    @property
+    def num_shards(self) -> int:
+        return self.counters.shape[0]
+
+    @property
+    def shard_size(self) -> int:
+        return self.size // self.counters.shape[0]
+
+    @property
+    def counter_max(self) -> int:
+        return (1 << (8 * min(self.counter_width, 4))) - 1
+
+
+def create_sharded(mesh: Mesh, size_in_bytes: int, hash_num: int,
+                   kmer_size: int, count_threshold: int,
+                   counter_width: int = 1) -> ShardedCountingBloomFilter:
+    """Sharded analog of counting.create: sizeInBytes rounds up to a
+    multiple of 8 (CountingBloomFilter.hpp:31-50) and of the shard
+    count so every shard holds the same number of counters."""
+    p = mesh.devices.size
+    size_in_bytes += -size_in_bytes % (8 * p)
+    size = size_in_bytes // counter_width
+    if size > (1 << 32):
+        raise NotImplementedError("sharded counting routing requires "
+                                  "size <= 2**32 counters")
+    dt = counting_mod._DTYPES[counter_width]
+    counters = jax.device_put(jnp.zeros((p, size // p), dt),
+                              NamedSharding(mesh, P(AXIS)))
+    return ShardedCountingBloomFilter(
+        counters=counters, size=size, hash_num=hash_num,
+        kmer_size=kmer_size, count_threshold=count_threshold,
+        counter_width=counter_width)
+
+
+def _flat_positions(hashes: U64, size: int):
+    flat = U64(hashes.hi.reshape(-1), hashes.lo.reshape(-1))
+    return u64.mod_to_index(flat, size).astype(jnp.uint32)
+
+
+def sharded_insert_all(mesh: Mesh, scbf: ShardedCountingBloomFilter,
+                       hashes: U64, valid=None, cap: int | None = None
+                       ) -> ShardedCountingBloomFilter:
+    """Sharded incrementAll (CountingBloomFilter.hpp:165-183): hashes
+    U64[..., h] with the leading axis sharded over the mesh; occurrence
+    counts route to the owning shard with the exact multi-round
+    all_to_all (saturating adds compose across rounds: min(min(c+a,M)+b,M)
+    == min(c+a+b,M) for non-negative a, b)."""
+    from .dist_bloom import _default_cap, _round_sendbuf, route_prepare
+    p = scbf.counters.shape[0]
+    shard_size = scbf.shard_size
+    cmax = scbf.counter_max
+
+    def local(counters, hi, lo, v):
+        n = hi.size
+        pos = _flat_positions(U64(hi, lo), scbf.size)
+        vv = jnp.broadcast_to(v[..., None], hi.shape).reshape(-1)
+        owner = jnp.where(vv, pos // jnp.uint32(shard_size), jnp.uint32(p))
+        c = _default_cap(n, p) if cap is None else min(cap, n)
+        pay_s, own_s, slot, _, counts = route_prepare(pos, owner, p)
+        my = lax.axis_index(AXIS).astype(jnp.uint32)
+        base = my * jnp.uint32(shard_size)
+        sent = jnp.uint32(0xFFFFFFFF)
+
+        def apply_round(cs, rnd):
+            buf = _round_sendbuf(pay_s, own_s, slot, p, c, rnd)
+            recv = lax.all_to_all(buf, AXIS, split_axis=0,
+                                  concat_axis=0).reshape(-1)
+            ok = recv != sent
+            lpos = jnp.where(ok, recv - base, jnp.uint32(shard_size))
+            occ = jnp.zeros((shard_size,), jnp.uint32).at[lpos].add(
+                ok.astype(jnp.uint32), mode="drop")
+            wide = cs.astype(jnp.uint32) + occ
+            return jnp.minimum(wide, jnp.uint32(cmax)).astype(cs.dtype)
+
+        cs = apply_round(counters[0], 0)
+        max_count = lax.pmax(jnp.max(counts), AXIS)
+        cs = lax.while_loop(
+            lambda st: st[0] * c < max_count,
+            lambda st: (st[0] + 1, apply_round(st[1], st[0])),
+            (jnp.int32(1), cs))[1]
+        return cs[None]
+
+    if valid is None:
+        valid = jnp.ones(hashes.hi.shape[:-1], bool)
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+                           out_specs=P(AXIS)))
+    counters = fn(scbf.counters, hashes.hi, hashes.lo, jnp.asarray(valid))
+    return dataclasses.replace(scbf, counters=counters)
+
+
+def sharded_min_count(mesh: Mesh, scbf: ShardedCountingBloomFilter,
+                      hashes: U64, cap: int | None = None):
+    """Sharded minimum-counter query (CountingBloomFilter.hpp:54-64):
+    positions route to owners, counter values route back; returns
+    uint32[...] of min counts per frame."""
+    from .dist_bloom import _default_cap, _round_sendbuf, route_prepare
+    p = scbf.counters.shape[0]
+    shard_size = scbf.shard_size
+
+    def local(counters, hi, lo):
+        shape = hi.shape
+        n = hi.size
+        pos = _flat_positions(U64(hi.reshape(-1), lo.reshape(-1)),
+                              scbf.size)
+        owner = pos // jnp.uint32(shard_size)
+        c = _default_cap(n, p) if cap is None else min(cap, n)
+        pay_s, own_s, slot, order, counts = route_prepare(pos, owner, p)
+        my = lax.axis_index(AXIS).astype(jnp.uint32)
+        base = my * jnp.uint32(shard_size)
+        sent = jnp.uint32(0xFFFFFFFF)
+
+        def apply_round(acc, rnd):
+            buf = _round_sendbuf(pay_s, own_s, slot, p, c, rnd)
+            recv = lax.all_to_all(buf, AXIS, split_axis=0,
+                                  concat_axis=0).reshape(-1)
+            ok = recv != sent
+            lpos = jnp.where(ok, (recv - base).astype(jnp.int32), 0)
+            vals = counters[0][lpos].astype(jnp.uint32)
+            back = lax.all_to_all(vals.reshape(p, c), AXIS, split_axis=0,
+                                  concat_axis=0)
+            active = (own_s < p) & (slot >= rnd * c) & (slot < (rnd + 1) * c)
+            row = jnp.where(active, own_s, 0).astype(jnp.int32)
+            col = jnp.where(active, slot - rnd * c, 0).astype(jnp.int32)
+            return jnp.where(active, back[row, col], acc)
+
+        acc = apply_round(jnp.zeros((n,), jnp.uint32), 0)
+        max_count = lax.pmax(jnp.max(counts), AXIS)
+        acc = lax.while_loop(
+            lambda st: st[0] * c < max_count,
+            lambda st: (st[0] + 1, apply_round(st[1], st[0])),
+            (jnp.int32(1), acc))[1]
+        unsorted = jnp.zeros((n,), jnp.uint32).at[order].set(acc)
+        return jnp.min(unsorted.reshape(shape), axis=-1)
+
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                           out_specs=P(AXIS)))
+    return fn(scbf.counters, hashes.hi, hashes.lo)
+
+
+def sharded_contains(mesh: Mesh, scbf: ShardedCountingBloomFilter,
+                     hashes: U64, cap: int | None = None):
+    """Sharded membership (CountingBloomFilter.hpp:190-196)."""
+    return sharded_min_count(mesh, scbf, hashes, cap) >= jnp.uint32(
+        scbf.count_threshold)
+
+
+def sharded_insert(mesh: Mesh, scbf: ShardedCountingBloomFilter,
+                   hashes: U64, valid=None,
+                   max_entangled: int | None = None
+                   ) -> ShardedCountingBloomFilter:
+    """Exact distributed conservative update (incrementMin,
+    CountingBloomFilter.hpp:135-162) over sharded counters.
+
+    hashes is U64[B, W, h] with B sharded over the mesh. A conservative
+    batch only reads/writes the counters it addresses, so:
+
+      1. all_gather the batch's positions (every device sees the full
+         stream in order);
+      2. build the table of unique touched positions (sort + keep-mask;
+         the table index of each frame slot comes from unsorting the
+         cumsum-unique id);
+      3. fetch table values from owner shards with ONE psum (each entry
+         has exactly one owner; non-owners contribute 0);
+      4. run the single-device batched-exact decomposition
+         (counting.insert_positions) against the compact table —
+         replicated, every device computes the identical result;
+      5. write each updated entry back to its owner's shard.
+
+    Bit-identical to models.counting.insert on the concatenated counter
+    plane (asserted in tests/test_parallel.py)."""
+    p = scbf.counters.shape[0]
+    shard_size = scbf.shard_size
+    h = hashes.hi.shape[-1]
+
+    def local(counters, hi, lo, v):
+        pos_l = _flat_positions(U64(hi, lo), scbf.size).reshape(-1, h)
+        v_l = jnp.broadcast_to(v[..., None],
+                               hi.shape[:-1] + (1,)).reshape(-1)
+        # 1. replicate the full stream (order = device order = stream order)
+        pos = lax.all_gather(pos_l, AXIS, axis=0, tiled=True)
+        vv = lax.all_gather(v_l, AXIS, axis=0, tiled=True)
+        n = pos.shape[0]
+        T = n * h
+        sent = jnp.uint32(0xFFFFFFFF)
+        flat = jnp.where(vv[:, None], pos, sent).reshape(-1)
+
+        # 2. unique table + per-slot table ids
+        pidx = jnp.arange(T, dtype=jnp.int32)
+        flat_s, pidx_s = lax.sort((flat, pidx), num_keys=1)
+        keep = jnp.ones((T,), bool).at[1:].set(flat_s[1:] != flat_s[:-1])
+        uid_s = (jnp.cumsum(keep.astype(jnp.uint32)) - 1)
+        _, uid = lax.sort((pidx_s, uid_s), num_keys=1)   # unsort
+        tpos = jnp.full((T,), sent).at[
+            jnp.where(keep, uid_s, jnp.uint32(T)).astype(jnp.int32)].set(
+            flat_s, mode="drop")                         # table -> position
+
+        # 3. fetch table values from owners (one psum)
+        my = lax.axis_index(AXIS).astype(jnp.uint32)
+        base = my * jnp.uint32(shard_size)
+        owner = tpos // jnp.uint32(shard_size)           # sent -> >= p
+        mine = owner == my
+        lpos = jnp.where(mine, (tpos - base).astype(jnp.int32), 0)
+        vals = jnp.where(mine, counters[0][lpos].astype(jnp.uint32), 0)
+        table = lax.psum(vals, AXIS).astype(counters.dtype)
+
+        # 4. replicated exact decomposition on the compact table
+        new_table = counting_mod.insert_positions(
+            table, uid.reshape(n, h), vv, scbf.counter_max, T,
+            max_entangled)
+
+        # 5. write back my entries
+        dest = jnp.where(mine, lpos, jnp.int32(shard_size))
+        cs = counters[0].at[dest].set(
+            jnp.where(mine, new_table, 0).astype(counters.dtype),
+            mode="drop")
+        return cs[None]
+
+    if valid is None:
+        valid = jnp.ones(hashes.hi.shape[:-1], bool)
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+                           out_specs=P(AXIS)))
+    counters = fn(scbf.counters, hashes.hi, hashes.lo, jnp.asarray(valid))
+    return dataclasses.replace(scbf, counters=counters)
