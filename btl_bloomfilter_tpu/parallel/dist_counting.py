@@ -94,7 +94,7 @@ def dp_contains_seq(mesh: Mesh, cbf: counting_mod.CountingBloomFilter,
 @partial(jax.tree_util.register_dataclass,
          data_fields=["counters"],
          meta_fields=["size", "hash_num", "kmer_size", "count_threshold",
-                      "counter_width", "num_shards"])
+                      "counter_width"])
 @dataclasses.dataclass
 class ShardedCountingBloomFilter:
     """Counter array split into ``num_shards`` contiguous range shards:
@@ -329,8 +329,11 @@ def sharded_insert(mesh: Mesh, scbf: ShardedCountingBloomFilter,
 
     if valid is None:
         valid = jnp.ones(hashes.hi.shape[:-1], bool)
+    # check_vma off: the psum'd table is axis-invariant while the gathered
+    # stream stays marked varying, so the (replicated, deterministic) scan
+    # would trip the varying-manual-axes check on its carry.
     fn = jax.jit(shard_map(local, mesh=mesh,
                            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-                           out_specs=P(AXIS)))
+                           out_specs=P(AXIS), check_vma=False))
     counters = fn(scbf.counters, hashes.hi, hashes.lo, jnp.asarray(valid))
     return dataclasses.replace(scbf, counters=counters)

@@ -97,10 +97,14 @@ def test_kernel_overflow_detected():
 
 
 def test_insert_kernel_path_matches_xla_path():
-    """bloom.insert(use_kernel=True, interpret via CPU) == use_kernel=False."""
+    """bloom.insert(use_kernel=True, interpret via CPU) == use_kernel=False.
+
+    bloom.insert routes through kernels/scatter_ring (the default TPU
+    insert kernel); patch THAT module, not the superseded scatter_or."""
     import functools
+    from btl_bloomfilter_tpu.kernels import scatter_ring
     rng = np.random.default_rng(3)
-    size = scatter_or.WIN_WORDS * 32  # smallest kernel-eligible filter
+    size = scatter_ring.NWIN * scatter_ring.SLOT_WORDS * 32
     bf = bloom.create(size, 4, 31)
     from btl_bloomfilter_tpu.ops.u64 import U64
     hi = jnp.asarray(rng.integers(0, 1 << 32, size=(64, 8, 4),
@@ -111,10 +115,11 @@ def test_insert_kernel_path_matches_xla_path():
     valid = jnp.asarray(rng.random((64, 8)) < 0.9)
 
     ref = bloom.insert(bf, hashes, valid, use_kernel=False)
-    orig = scatter_or.scatter_or_sorted
+    orig = scatter_ring.scatter_or_sorted
     try:
-        scatter_or.scatter_or_sorted = functools.partial(orig, interpret=True)
+        scatter_ring.scatter_or_sorted = functools.partial(
+            orig, interpret=True)
         got = bloom.insert(bf, hashes, valid, use_kernel=True)
     finally:
-        scatter_or.scatter_or_sorted = orig
+        scatter_ring.scatter_or_sorted = orig
     np.testing.assert_array_equal(np.asarray(ref.words), np.asarray(got.words))
