@@ -268,3 +268,180 @@ def test_sharded_mibf_saturate_matches_single(mesh):
     smsat = dist_mibf.saturate(mesh, sm, frames[0].hashes)
     g, _ = dist_mibf.to_single(smsat)
     np.testing.assert_array_equal(np.asarray(g.data), np.asarray(m1sat.data))
+
+
+# ---------------------------------------------------------------------------
+# sharded counting filter: bit-identical to the single-device plane
+# ---------------------------------------------------------------------------
+
+def _counting_pair(mesh, size_bytes, k, h, thr=1, width=1):
+    from btl_bloomfilter_tpu.models import counting
+    from btl_bloomfilter_tpu.parallel import dist_counting
+    cbf = counting.create(size_bytes, h, k, thr, counter_width=width)
+    scbf = dist_counting.create_sharded(mesh, size_bytes, h, k, thr,
+                                        counter_width=width)
+    assert scbf.size == cbf.size  # choose size_bytes % (8*p) == 0
+    return cbf, scbf
+
+
+@pytest.mark.parametrize("cap", [None, 2])  # cap=2 forces overflow rounds
+def test_sharded_counting_insert_all_matches_single(mesh, cap):
+    from btl_bloomfilter_tpu.models import counting
+    from btl_bloomfilter_tpu.parallel import dist_counting
+
+    codes = rand_codes(16, 50, seed=31)
+    k, h = 9, 3
+    cbf, scbf = _counting_pair(mesh, 256, k, h)
+    f = nthash.hash_frames(jnp.asarray(codes), k, h)
+
+    cbf = counting.insert_all(cbf, f.hashes, f.valid)
+    scbf = dist_counting.sharded_insert_all(mesh, scbf, f.hashes, f.valid,
+                                            cap=cap)
+    np.testing.assert_array_equal(np.asarray(scbf.counters).reshape(-1),
+                                  np.asarray(cbf.counters))
+
+    mc1 = np.asarray(counting.min_count(cbf, f.hashes))
+    mc2 = np.asarray(dist_counting.sharded_min_count(mesh, scbf, f.hashes,
+                                                     cap=cap))
+    np.testing.assert_array_equal(mc2.astype(np.uint32),
+                                  mc1.astype(np.uint32))
+
+    c1 = np.asarray(counting.contains(cbf, f.hashes))
+    c2 = np.asarray(dist_counting.sharded_contains(mesh, scbf, f.hashes,
+                                                   cap=cap))
+    np.testing.assert_array_equal(c2, c1)
+
+
+def test_sharded_counting_insert_all_cap_overflow_saturates_exactly(mesh):
+    """256 counters only (tiny), uint8 plane, a heavy stream: saturating
+    adds must compose exactly across the forced repair rounds
+    (min(min(c+a,M)+b,M) == min(c+a+b,M))."""
+    from btl_bloomfilter_tpu.models import counting
+    from btl_bloomfilter_tpu.parallel import dist_counting
+
+    codes = rand_codes(64, 140, seed=32)
+    k, h = 5, 4  # small k => heavy per-counter multiplicity
+    cbf, scbf = _counting_pair(mesh, 64, k, h)
+    f = nthash.hash_frames(jnp.asarray(codes), k, h)
+    cbf = counting.insert_all(cbf, f.hashes, f.valid)
+    scbf = dist_counting.sharded_insert_all(mesh, scbf, f.hashes, f.valid,
+                                            cap=2)
+    counters = np.asarray(scbf.counters).reshape(-1)
+    np.testing.assert_array_equal(counters, np.asarray(cbf.counters))
+    assert counters.max() == 255  # saturation really happened
+
+
+def test_sharded_counting_conservative_insert_matches_single(mesh):
+    from btl_bloomfilter_tpu.models import counting
+    from btl_bloomfilter_tpu.parallel import dist_counting
+
+    codes = rand_codes(16, 50, seed=33)
+    k, h = 9, 3
+    cbf, scbf = _counting_pair(mesh, 256, k, h)
+    f = nthash.hash_frames(jnp.asarray(codes), k, h)
+
+    cbf = counting.insert(cbf, f.hashes, f.valid)
+    scbf = dist_counting.sharded_insert(mesh, scbf, f.hashes, f.valid)
+    np.testing.assert_array_equal(np.asarray(scbf.counters).reshape(-1),
+                                  np.asarray(cbf.counters))
+
+
+def test_sharded_counting_conservative_entangled_heavy(mesh):
+    """A tiny counter plane (64 counters, h=4) entangles nearly every
+    frame: the replicated replay (and the full-sequential fallback when
+    max_entangled is tiny) must both stay bit-identical to the
+    single-device stream."""
+    from btl_bloomfilter_tpu.models import counting
+    from btl_bloomfilter_tpu.parallel import dist_counting
+
+    codes = rand_codes(16, 40, seed=34)
+    k, h = 5, 4
+    f = nthash.hash_frames(jnp.asarray(codes), k, h)
+
+    # sequential ground truth on the concatenated plane
+    cbf0, scbf0 = _counting_pair(mesh, 64, k, h)
+    ref = counting.insert_sequential(cbf0, f.hashes, f.valid)
+
+    scbf = dist_counting.sharded_insert(mesh, scbf0, f.hashes, f.valid)
+    np.testing.assert_array_equal(np.asarray(scbf.counters).reshape(-1),
+                                  np.asarray(ref.counters))
+
+    # force the full-sequential fallback inside the replicated table
+    scbf2 = dist_counting.sharded_insert(mesh, scbf0, f.hashes, f.valid,
+                                         max_entangled=4)
+    np.testing.assert_array_equal(np.asarray(scbf2.counters).reshape(-1),
+                                  np.asarray(ref.counters))
+
+
+# ---------------------------------------------------------------------------
+# classification against a sharded MIBF
+# ---------------------------------------------------------------------------
+
+def _query_results_equal(a, b):
+    return [(r.id, r.count, r.non_sat_count, r.total_count,
+             r.total_non_sat_count, r.non_sat_frame_count, r.solid_count)
+            for r in a] == \
+           [(r.id, r.count, r.non_sat_count, r.total_count,
+             r.total_non_sat_count, r.non_sat_frame_count, r.solid_count)
+            for r in b]
+
+
+def test_sharded_classification_matches_single(mesh):
+    """Ranked QueryResults from ShardedMIBFQuerySupport must be identical
+    to MIBFQuerySupport against the equivalent single-device filter —
+    including a paired-end batch (MIBFQuerySupport.hpp:94-130)."""
+    from btl_bloomfilter_tpu.models import mibf_query
+    from btl_bloomfilter_tpu.parallel import dist_mibf
+
+    k, h, p = 9, 3, 8
+    size = p * 32 * 64
+    seqs = [rand_codes(8, 40, seed=50 + i) for i in range(3)]
+    m1, counts1, frames = _mibf_single_build(size, k, h, seqs,
+                                             saturate=True)
+
+    # sharded build, phases 1-4 (phase 4 via the gather/re-shard path)
+    from btl_bloomfilter_tpu.models import mibf_construct as construct
+    bvw = jax.device_put(jnp.zeros((p, size // p // 32), jnp.uint32),
+                         mesh_lib.sharded(mesh))
+    for f in frames:
+        bvw = dist_mibf.insert_bv(mesh, bvw, size, f.hashes, f.valid)
+    sm = dist_mibf.freeze(mesh, bvw, size, h, k, data_width=2)
+    for i, f in enumerate(frames):
+        sm = dist_mibf.insert_mibf(mesh, sm, f.hashes, i + 1, f.valid)
+    for i, f in enumerate(frames):
+        sm = dist_mibf.insert_saturation(mesh, sm, f.hashes, i + 1, f.valid)
+
+    num_ids = 5
+    pfp = [0.0] + [0.1] * (num_ids - 1)
+    mc = np.full(num_ids, 1, np.int32)
+    kwargs = dict(per_frame_prob=pfp, extra_count=2.0,
+                  extra_frame_limit=10**6, max_miss=0, min_count=1,
+                  best_hit_agree=False)
+    qs1 = mibf_query.MIBFQuerySupport(m=m1, **kwargs)
+    qs2 = dist_mibf.ShardedMIBFQuerySupport(mesh=mesh, m=sm, **kwargs)
+
+    # 8 reads (divisible by the mesh), mixed hit/miss content
+    qcodes = np.concatenate([rand_codes(4, 40, seed=60),
+                             seqs[1][:2], seqs[2][:2]])
+    qf = nthash.hash_frames(jnp.asarray(qcodes), k, h)
+
+    got1 = qs1.query_many(qf.hashes, qf.valid, mc)
+    got2 = qs2.query_many(qf.hashes, qf.valid, mc)
+    assert len(got1) == len(got2) == 8
+    assert any(got1)  # at least one read classifies to something
+    for a, b in zip(got1, got2):
+        assert _query_results_equal(a, b)
+    assert qs1.sat_count == qs2.sat_count
+    assert qs1.eval_count == qs2.eval_count
+
+    # paired-end: ends of different widths, same exactness contract
+    q2codes = np.concatenate([rand_codes(4, 30, seed=61),
+                              seqs[1][2:4, :30], seqs[2][2:4, :30]])
+    qf2 = nthash.hash_frames(jnp.asarray(q2codes), k, h)
+    p1 = qs1.query_paired_many(qf.hashes, qf.valid, qf2.hashes, qf2.valid,
+                               mc)
+    p2 = qs2.query_paired_many(qf.hashes, qf.valid, qf2.hashes, qf2.valid,
+                               mc)
+    assert any(p1)
+    for a, b in zip(p1, p2):
+        assert _query_results_equal(a, b)
