@@ -22,9 +22,11 @@ HBM by splitting them into P contiguous shards:
     communication at all — each shard selects the unique values whose
     positions it owns and runs the shared order-exact reservoir_core on
     its local rank space (a rank group never spans shards). Phase 4
-    (saturation rescue) is a sequential cross-rank pass; it runs on
-    gathered state host-side and re-shards (documented cost — it is the
-    cheapest phase by volume).
+    (saturation rescue) is mesh-resident: global ranks come from the
+    routed lookup, a compact table of the touched data/count entries is
+    fetched from owner shards with one psum, the batched-exact
+    decomposition runs replicated, and entries write back to their
+    owners — per-shard state never leaves the devices.
 
 Exactness contract: every operation here is bit-identical to the
 single-device models.mibf/mibf_construct pipeline on the concatenated
@@ -78,6 +80,10 @@ class ShardedMIBF:
     @property
     def s_mask(self) -> int:
         return 1 << (8 * self.data_width - 1)
+
+    @property
+    def s_anti_mask(self) -> int:
+        return self.s_mask - 1  # (T)~s_mask, MIBloomFilter.hpp:36-42
 
 
 # ---------------------------------------------------------------------------
@@ -240,22 +246,95 @@ def insert_mibf(mesh: Mesh, m: ShardedMIBF, hashes: U64, id_value: int,
 # ---------------------------------------------------------------------------
 
 def insert_saturation(mesh: Mesh, m: ShardedMIBF, hashes: U64,
-                      id_value: int, valid=None) -> ShardedMIBF:
-    """Phase 4 (setSatIfMissing, MIBFConstructSupport.hpp:168-214).
+                      id_value: int, valid=None,
+                      max_entangled: int | None = None) -> ShardedMIBF:
+    """Phase 4 (setSatIfMissing, MIBFConstructSupport.hpp:168-214),
+    mesh-resident: neither the bit vector nor the full ID/count planes
+    ever leave the devices.
 
-    The rescue pass mutates data at arbitrary ranks with per-frame
-    sequential dependencies across shards, so it cannot be sharded without
-    serializing the mesh; it is also the lowest-volume phase. Strategy:
-    gather the (small) ID/count planes to the host, run the exact
-    single-device pass, re-shard. The bit vector is NOT gathered — rank
-    lookups run against a temporary single-device view built from the
-    gathered planes only when the total bv fits the host; callers with
-    larger-than-host filters should saturate via distributed queries
-    instead (future work)."""
-    single, counts = to_single(m)
-    m2, c2 = construct.insert_saturation(single, counts, hashes, id_value,
-                                         valid)
-    return _reshard_planes(mesh, m, np.asarray(m2.data), np.asarray(c2))
+    A saturation batch only reads and writes the data/count entries at
+    the ranks it addresses, so (the counting-filter sharded_insert
+    pattern applied to phase 4):
+
+      1. per-frame GLOBAL ranks come from the routed rank lookup
+         (:func:`at_rank_data` — one all_to_all out, one back);
+      2. the batch's rank rows are all_gathered (stream order);
+      3. the compact table of unique touched ranks is built replicated;
+         each entry's value is fetched from its owner shard with ONE psum
+         (rank-aligned shards: owner s holds ranks [base[s],
+         base[s]+pop_s));
+      4. the batched-exact phase-4 decomposition (group collapse +
+         entangled replay, models.mibf_construct.saturation_ranks) runs
+         on the compact table, replicated — every device computes the
+         identical result;
+      5. each updated entry writes back to its owner's shard.
+
+    Bit-identical to the single-device pass on the concatenated planes
+    (asserted in tests/test_parallel.py)."""
+    p = m.num_shards
+    d_max = m.data.shape[1]
+    h = hashes.hi.shape[-1]
+    grank, _hit, _raw = at_rank_data(mesh, m, hashes)
+
+    def local(data, counts, base, rk_l, v_l):
+        rk = lax.all_gather(rk_l.reshape(-1, h), AXIS, axis=0, tiled=True)
+        vv = lax.all_gather(v_l.reshape(-1), AXIS, axis=0, tiled=True)
+        n = rk.shape[0]
+        T = n * h
+        sent = jnp.uint32(0xFFFFFFFF)
+        flat = jnp.where(vv[:, None], rk.astype(jnp.uint32), sent).reshape(-1)
+
+        # unique table + per-slot table ids (see dist_counting.sharded_insert)
+        pidx = jnp.arange(T, dtype=jnp.int32)
+        flat_s, pidx_s = lax.sort((flat, pidx), num_keys=1)
+        keep = jnp.ones((T,), bool).at[1:].set(flat_s[1:] != flat_s[:-1])
+        uid_s = jnp.cumsum(keep.astype(jnp.uint32)) - 1
+        _, uid = lax.sort((pidx_s, uid_s), num_keys=1)    # unsort
+        trank = jnp.full((T,), sent).at[
+            jnp.where(keep, uid_s, jnp.uint32(T)).astype(jnp.int32)].set(
+            flat_s, mode="drop")                          # table -> rank
+
+        # fetch table entries from owners (one psum per plane)
+        my = lax.axis_index(AXIS)
+        my_base = base[my]
+        owner = jnp.searchsorted(base, trank, side="right") - 1
+        owner = jnp.where(trank >= jnp.uint32(m.d_size), jnp.int32(p),
+                          owner.astype(jnp.int32))
+        mine = owner == my
+        lidx = jnp.where(mine, (trank - my_base).astype(jnp.int32), 0)
+        lidx = jnp.minimum(lidx, d_max - 1)
+        tdata = lax.psum(
+            jnp.where(mine, data[0][lidx].astype(jnp.uint32), 0), AXIS
+        ).astype(data.dtype)
+        tcounts = lax.psum(
+            jnp.where(mine, counts[0][lidx].astype(jnp.uint32), 0), AXIS
+        ).astype(counts.dtype)
+
+        # replicated exact phase-4 decomposition on the compact table
+        new_d, new_c = construct.saturation_ranks(
+            tdata, tcounts, uid.reshape(n, h).astype(jnp.int32), vv, T,
+            m.data_width, id_value, max_entangled)
+
+        # write back my entries
+        dest = jnp.where(mine, lidx, jnp.int32(d_max))
+        d_out = data[0].at[dest].set(
+            jnp.where(mine, new_d, 0).astype(data.dtype), mode="drop")
+        c_out = counts[0].at[dest].set(
+            jnp.where(mine, new_c, 0).astype(counts.dtype), mode="drop")
+        return d_out[None], c_out[None]
+
+    if valid is None:
+        valid = jnp.ones(hashes.hi.shape[:-1], bool)
+    # check_vma off: the psum'd table is axis-invariant while the gathered
+    # stream stays marked varying (same rationale as
+    # dist_counting.sharded_insert).
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)), check_vma=False))
+    data, counts = fn(m.data, m.counts, m.rank_base, grank,
+                      jnp.asarray(valid))
+    return dataclasses.replace(m, data=data, counts=counts)
 
 
 def saturate(mesh: Mesh, m: ShardedMIBF, hashes: U64) -> ShardedMIBF:
@@ -405,21 +484,87 @@ def to_single(m: ShardedMIBF):
     return single, jnp.asarray(c)
 
 
-def _reshard_planes(mesh: Mesh, m: ShardedMIBF, data_np: np.ndarray,
-                    counts_np: np.ndarray) -> ShardedMIBF:
-    """Split flat (global-rank-indexed) data/count planes back into the
-    rank-aligned shard layout."""
-    p = m.num_shards
-    d_max = m.data.shape[1]
-    data = np.zeros((p, d_max), data_np.dtype)
-    counts = np.zeros((p, d_max), counts_np.dtype)
-    off = 0
-    for s in range(p):
-        n = m.d_sizes[s]
-        data[s, :n] = data_np[off:off + n]
-        counts[s, :n] = counts_np[off:off + n]
-        off += n
-    sh = NamedSharding(mesh, P(AXIS))
-    return dataclasses.replace(
-        m, data=jax.device_put(jnp.asarray(data), sh),
-        counts=jax.device_put(jnp.asarray(counts), sh))
+# ---------------------------------------------------------------------------
+# classification against a sharded MIBF (MIBFQuerySupport.hpp:94-130)
+# ---------------------------------------------------------------------------
+
+def prep_frames(mesh: Mesh, m: ShardedMIBF, hashes: U64, valid,
+                max_miss: int):
+    """Sharded twin of models.mibf_query.prep_frames: the per-frame
+    bit-test + rank + ID gathers run against the SHARDED filter via
+    :func:`at_rank_data` (one all_to_all out, one back). hashes is
+    U64[R, W, h] with R divisible by the mesh size; returns
+    (raw, hit, usable, misses), each sharded over R."""
+    _, hit, raw = at_rank_data(mesh, m, hashes)
+    misses = jnp.sum((~hit).astype(jnp.int32), axis=-1)
+    usable = jnp.asarray(valid) & (misses <= max_miss)
+    return raw, hit, usable, misses
+
+
+@dataclasses.dataclass
+class ShardedMIBFQuerySupport:
+    """Read classification against a ShardedMIBF — the scale-out twin of
+    models.mibf_query.MIBFQuerySupport (same ctor params,
+    MIBFQuerySupport.hpp:33-59). The rank/ID gathers route through the
+    mesh; the per-read frame scan (order-dependent bookkeeping) and the
+    host-side candidate ranking reuse the single-device engine unchanged,
+    so ranked QueryResults are identical to classifying against the
+    equivalent single-device filter."""
+
+    mesh: Mesh
+    m: ShardedMIBF
+    per_frame_prob: "list[float]"
+    extra_count: float
+    extra_frame_limit: int
+    max_miss: int
+    min_count: int
+    best_hit_agree: bool
+    sat_count: int = 0
+    eval_count: int = 0
+
+    _jit_cache: dict = dataclasses.field(default_factory=dict)
+
+    def _scan_and_summarize(self, raw, hit, usable, misses, min_count_vec):
+        from ..models import mibf_query as mq
+        num_ids = len(self.per_frame_prob)
+        key = (raw.shape, num_ids)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(partial(mq.query_scan_batch, num_ids=num_ids,
+                                 extra_frame_limit=self.extra_frame_limit))
+            self._jit_cache[key] = fn
+        # query_scan only reads s_mask/s_anti_mask from the filter pytree;
+        # the sharded arrays are dead inputs XLA removes
+        out = fn(self.m, raw, hit, usable, misses,
+                 jnp.asarray(min_count_vec, jnp.int32))
+        counts = np.asarray(out["counts"])
+        cands = np.asarray(out["candidates"])
+        bests = np.asarray(out["best"])
+        self.sat_count = int(np.sum(np.asarray(out["sat_count"])))
+        self.eval_count = int(np.sum(np.asarray(out["eval_count"])))
+        return [mq.summarize(counts[r], cands[r], bests[r],
+                             self.per_frame_prob, self.min_count,
+                             self.extra_count, self.best_hit_agree)
+                for r in range(raw.shape[0])]
+
+    def query_many(self, hashes: U64, valid, min_count_vec):
+        """Batched multi-read query (hashes U64[R, W, h], R divisible by
+        the mesh size): gathers against the sharded filter, then the exact
+        per-read engine. Returns one ranked QueryResult list per read."""
+        raw, hit, usable, misses = prep_frames(self.mesh, self.m, hashes,
+                                               valid, self.max_miss)
+        return self._scan_and_summarize(raw, hit, usable, misses,
+                                        min_count_vec)
+
+    def query_paired_many(self, hashes1: U64, valid1, hashes2: U64, valid2,
+                          min_count_vec):
+        """Batched paired-end query (MIBFQuerySupport.hpp:111-130) against
+        the sharded filter: both ends' gathers ride the mesh, the
+        interleave runs on device, the scans are vmapped."""
+        from ..models import mibf_query as mq
+        fr1 = prep_frames(self.mesh, self.m, hashes1, valid1, self.max_miss)
+        fr2 = prep_frames(self.mesh, self.m, hashes2, valid2, self.max_miss)
+        raw, hit, usable, misses = mq.interleave_paired_frames(
+            fr1, fr2, valid1, valid2)
+        return self._scan_and_summarize(raw, hit, usable, misses,
+                                        min_count_vec)
