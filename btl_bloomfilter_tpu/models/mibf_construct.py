@@ -94,8 +94,57 @@ def insert_bv(state: BitVectorState, hashes: U64, valid=None
 
 def insert_bv_colli(state: BitVectorState, hashes: U64, valid=None):
     """Phase-1 variant counting k-mers whose h positions were all already
-    set (insertBVColli, MIBFConstructSupport.hpp:55-73). Sequential in
-    stream order (lax.scan) to mirror the single-threaded reference."""
+    set (insertBVColli, MIBFConstructSupport.hpp:55-73), batched-exact.
+
+    The stream-order dependence has a closed form: frame i collides iff
+    every one of its h bits was set at its turn, i.e. the bit was set in
+    the initial vector OR first written by a strictly earlier frame (a
+    frame checks all slots against the pre-write words, so its own writes
+    never count). First-writer indices come from one (position, frame)
+    sort — no per-frame scan. Bit-identical to
+    :func:`insert_bv_colli_sequential` (asserted in tests/test_mibf.py)."""
+    pos = u64.mod_to_index(hashes, state.filter_size)
+    h = pos.shape[-1]
+    flat_pos = pos.reshape(-1, h)
+    n = flat_pos.shape[0]
+    if valid is None:
+        v = jnp.ones(n, bool)
+    else:
+        v = jnp.broadcast_to(jnp.asarray(valid),
+                             hashes.hi.shape[:-1]).reshape(-1)
+
+    sent = jnp.uint32(0xFFFFFFFF)
+    pf = jnp.where(v[:, None], flat_pos.astype(jnp.uint32), sent)
+    flat = pf.reshape(-1)
+    fidx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), h)
+    sidx = jnp.arange(n * h, dtype=jnp.int32)
+    p_s, f_s, s_s = jax.lax.sort((flat, fidx, sidx), num_keys=2)
+    idx = jnp.arange(n * h, dtype=jnp.int32)
+    is_start = jnp.ones(n * h, bool).at[1:].set(p_s[1:] != p_s[:-1])
+    run_start = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(is_start, idx, 0))
+    first_f = f_s[run_start]              # first frame writing this position
+    written_earlier = first_f < f_s
+    # un-permute the 1-bit flag with the packed-key trick
+    packed = jnp.sort((s_s.astype(jnp.uint32) << 1)
+                      | written_earlier.astype(jnp.uint32))
+    we = ((packed & 1) == 1).reshape(n, h)
+
+    word = (flat_pos >> 5).astype(jnp.int32)
+    bit = flat_pos & 31
+    initial = ((state.bv_words[word] >> bit) & 1) == 1
+    colli = v & jnp.all(initial | we, axis=-1)
+    count = jnp.sum(colli.astype(jnp.int32))
+    words = _scatter_or_bits(state.bv_words, flat_pos,
+                             jnp.broadcast_to(v[:, None], flat_pos.shape))
+    return dataclasses.replace(state, bv_words=words), count
+
+
+def insert_bv_colli_sequential(state: BitVectorState, hashes: U64,
+                               valid=None):
+    """Transparent per-frame mirror of insertBVColli
+    (MIBFConstructSupport.hpp:55-73) as a lax.scan; kept as the oracle for
+    the batched path."""
     pos = u64.mod_to_index(hashes, state.filter_size)
     h = pos.shape[-1]
     flat = pos.reshape(-1, h)
@@ -258,35 +307,36 @@ def reservoir_core(data: jax.Array, counts: jax.Array, rank: jax.Array,
     return data, counts
 
 
-def insert_saturation(m: MIBloomFilter, counts: jax.Array, hashes: U64,
-                      id_value: int, valid=None):
-    """Phase 4: per-frame saturation with ID-mutation rescue
-    (setSatIfMissing, MIBFConstructSupport.hpp:168-214), sequential over
-    frames via lax.scan. Returns (mibf, counts)."""
+def _phase4_ranks(m: MIBloomFilter, hashes: U64, valid):
+    """Per-frame rank rows for phase 4 (ranks never change during the
+    pass: only data/counts mutate, the bit vector is frozen)."""
     h = hashes.hi.shape[-1]
     pos = mibf_mod.positions(m, hashes).reshape(-1, h)
+    rank, _hit = mibf_mod.rank_of_positions(m, pos)
     if valid is None:
         v = jnp.ones(pos.shape[0], bool)
     else:
         v = jnp.broadcast_to(jnp.asarray(valid),
                              hashes.hi.shape[:-1]).reshape(-1)
+    return rank.reshape(-1, h), v
 
-    smask = jnp.asarray(m.s_mask, m.data.dtype)
-    anti = jnp.asarray(m.s_anti_mask, m.data.dtype)
-    idv = jnp.asarray(id_value, m.data.dtype)
 
-    bv_words = m.bv_words
-    cum = m.cum_ranks
-
-    def rank_of(p):
-        word = (p >> 5).astype(jnp.int32)
-        before = bv_words[word] & ((jnp.uint32(1) << (p & 31)) - 1)
-        return (cum[word] + jax.lax.population_count(before)).astype(jnp.int32)
+def _phase4_step_fn(d_size: int, data_width: int, id_value):
+    """One setSatIfMissing frame (MIBFConstructSupport.hpp:168-214) on
+    precomputed rank rows; carry = (data, counts). Shared by the
+    sequential mirror and the entangled replay of the batched path."""
+    width_bits = 8 * data_width
+    s_mask = 1 << (width_bits - 1)
+    s_anti = s_mask - 1
 
     def step(carry, inp):
         data, cnts = carry
-        p, ok = inp
-        rk = rank_of(p)                      # [h]
+        smask = jnp.asarray(s_mask, data.dtype)
+        anti = jnp.asarray(s_anti, data.dtype)
+        idv = jnp.asarray(id_value, data.dtype)
+        rk, ok = inp
+        h = rk.shape[0]
+        rk = jnp.clip(rk, 0, max(d_size - 1, 0))
         results = data[rk]
         cur = results & anti                 # [h]
         value_found = jnp.any(cur == idv)
@@ -294,7 +344,8 @@ def insert_saturation(m: MIBloomFilter, counts: jax.Array, hashes: U64,
         # seenSet pre-filled with h zeros => cur==0 is always "seen";
         # otherwise seen iff an earlier slot holds the same value
         iota = jnp.arange(h)
-        same_earlier = (cur[None, :] == cur[:, None]) & (iota[None, :] < iota[:, None])
+        same_earlier = (cur[None, :] == cur[:, None]) & \
+            (iota[None, :] < iota[:, None])
         in_seen = (cur == 0) | jnp.any(same_earlier, axis=1)
         # replacementIDs = pre-filled zeros + values appended when seen
         dup_vals_mask = in_seen  # slots whose value went into replacementIDs
@@ -326,7 +377,181 @@ def insert_saturation(m: MIBloomFilter, counts: jax.Array, hashes: U64,
         data = data.at[rk].set(satvals)
         return (data, cnts), None
 
-    (data, counts), _ = jax.lax.scan(step, (m.data, counts), (pos, v))
+    return step
+
+
+def insert_saturation_sequential(m: MIBloomFilter, counts: jax.Array,
+                                 hashes: U64, id_value: int, valid=None):
+    """Phase 4: per-frame saturation with ID-mutation rescue
+    (setSatIfMissing, MIBFConstructSupport.hpp:168-214), sequential over
+    frames via lax.scan. Kept as the oracle for the batched
+    :func:`insert_saturation`. Returns (mibf, counts)."""
+    rk, v = _phase4_ranks(m, hashes, valid)
+    step = _phase4_step_fn(m.d_size, m.data_width, id_value)
+    (data, counts), _ = jax.lax.scan(step, (m.data, counts), (rk, v))
+    return dataclasses.replace(m, data=data), counts
+
+
+def saturation_ranks(data: jax.Array, counts: jax.Array, rk: jax.Array,
+                     v: jax.Array, d_size: int, data_width: int,
+                     id_value, max_entangled: int | None = None):
+    """Rank-level core of the batched phase 4 (setSatIfMissing,
+    MIBFConstructSupport.hpp:168-214): apply one saturation pass of
+    ``id_value`` over frames ``rk`` (int32[n, h] ranks < d_size, invalid
+    frames masked by ``v`` bool[n]) to the (data, counts) planes,
+    bit-identical to stream order. Shared by the single-device path and
+    the mesh-resident distributed path (parallel/dist_mibf.py), which
+    runs it on a compacted table of the touched ranks only.
+
+    Decomposition (the counting-filter group-collapse applied to phase 4):
+
+      1. frames with identical ordered rank tuples form a group; only the
+         FIRST occurrence acts (a mutate makes id_value present -> later
+         occurrences see value_found; a saturate is idempotent), so an
+         untangled group applies its representative once, vectorized;
+      2. groups sharing a rank with another group ("entangled") are
+         order-dependent and replay with the sequential scan;
+      3. more entangled frames than ``max_entangled`` (default n/8,
+         min 256) -> the whole batch runs through the scan (still exact).
+    """
+    n, h = rk.shape
+    width_bits = 8 * data_width
+    s_mask = 1 << (width_bits - 1)
+    sentr = jnp.int32(d_size)
+    rk = jnp.where(v[:, None], rk, sentr)
+    step = _phase4_step_fn(d_size, data_width, id_value)
+
+    # --- 1. group by ordered rank tuple ----------------------------------
+    order0 = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        tuple(rk[:, j] for j in range(h)) + (order0,), num_keys=h)
+    ks = jnp.stack(sorted_ops[:h], axis=1)             # [n, h] sorted rows
+    frame_of = sorted_ops[h]                           # original frame idx
+    new_grp = jnp.ones((n,), bool).at[1:].set(
+        jnp.any(ks[1:] != ks[:-1], axis=1))
+
+    gid = jnp.cumsum(new_grp.astype(jnp.int32)) - 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    run_start = jnp.where(new_grp, idx, 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+    is_last = jnp.ones((n,), bool).at[:-1].set(new_grp[1:])
+    run_end = jnp.where(is_last, idx, n - 1)
+    run_end = jax.lax.associative_scan(jnp.minimum, run_end, reverse=True)
+
+    # --- 2. entanglement: ranks shared across groups ----------------------
+    pair_rank = ks.reshape(-1)                         # [n*h], gid-major
+    pair_gid = jnp.repeat(gid, h)
+    pidx = jnp.arange(n * h, dtype=jnp.uint32)
+    pr_s, pg_s, pi_s = jax.lax.sort((pair_rank, pair_gid, pidx), num_keys=1)
+    shared_prev = jnp.zeros((n * h,), bool).at[1:].set(
+        (pr_s[1:] == pr_s[:-1]) & (pg_s[1:] != pg_s[:-1])
+        & (pr_s[1:] != sentr))
+    shared = shared_prev | jnp.concatenate(
+        [shared_prev[1:], jnp.zeros(1, bool)])
+    packed = jnp.sort((pi_s << 1) | shared.astype(jnp.uint32))
+    frame_shared = jnp.any((packed & 1).reshape(n, h) == 1, axis=1)
+    last_shared = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(frame_shared, idx, -1))
+    next_shared = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(frame_shared, idx, n), reverse=True)
+    entangled_s = (last_shared >= run_start) | (next_shared <= run_end)
+
+    live_s = ks[:, 0] != sentr
+    entangled_s = entangled_s & live_s
+
+    # --- 3. vectorized application of untangled representatives ----------
+    rep = new_grp & live_s & ~entangled_s
+    rk_rep = rk[frame_of]                              # original slot order
+    data0, counts0 = data, counts
+    data, counts = _phase4_vectorized(
+        data0, counts0, rk_rep, rep, d_size, s_mask, id_value)
+
+    # --- 4. sequential replay of entangled frames in stream order --------
+    cap = max_entangled if max_entangled is not None else max(256, n // 8)
+    cap = min(cap, n)
+    n_ent = jnp.sum(entangled_s.astype(jnp.int32))
+    ent_key = jnp.where(entangled_s, frame_of, jnp.int32(n))
+    ent_sorted = jax.lax.sort(ent_key)[:cap]
+    ent_rk = rk[jnp.minimum(ent_sorted, n - 1)]
+    ent_ok = ent_sorted < n
+
+    def replay(dc):
+        out, _ = jax.lax.scan(step, dc, (ent_rk, ent_ok))
+        return out
+
+    data, counts = jax.lax.cond(n_ent > 0, replay, lambda dc: dc,
+                                (data, counts))
+
+    # too many entangled frames for the buffer: redo everything serially
+    def full_sequential(_):
+        out, _ = jax.lax.scan(step, (data0, counts0), (rk, v))
+        return out
+
+    data, counts = jax.lax.cond(n_ent > cap, full_sequential,
+                                lambda _: (data, counts), None)
+    return data, counts
+
+
+def _phase4_vectorized(data, cnts, rk_rows, apply_mask, d_size: int,
+                       s_mask: int, id_value):
+    """Apply one setSatIfMissing step to every masked row of ``rk_rows``
+    at once; rows must touch pairwise-disjoint rank sets (guaranteed by
+    the untangled-group selection)."""
+    s_anti = s_mask - 1
+    smask = jnp.asarray(s_mask, data.dtype)
+    anti = jnp.asarray(s_anti, data.dtype)
+    idv = jnp.asarray(id_value, data.dtype)
+    g, h = rk_rows.shape
+
+    safe_rk = jnp.where(apply_mask[:, None], rk_rows, 0).astype(jnp.int32)
+    safe_rk = jnp.clip(safe_rk, 0, max(d_size - 1, 0))
+    results = data[safe_rk]                            # [G, h]
+    cur = results & anti
+    value_found = jnp.any(cur == idv, axis=-1)
+
+    iota = jnp.arange(h)
+    earlier = iota[None, :] < iota[:, None]            # [i, j]: j before i
+    eq = cur[:, :, None] == cur[:, None, :]            # [G, i, j]
+    in_seen = (cur == 0) | jnp.any(eq & earlier[None], axis=-1)
+    in_repl = (cur == 0) | jnp.any(eq & in_seen[:, None, :], axis=-1)
+
+    slot_counts = cnts[safe_rk].astype(jnp.uint32)
+    qual = in_repl & (slot_counts > 0)
+    score = jnp.where(qual, slot_counts, 0)
+    best = jnp.max(score, axis=-1)
+    has_repl = best > 0
+    first_best = jnp.argmax(score == best[:, None], axis=-1)
+    repl_rank = jnp.take_along_axis(safe_rk, first_best[:, None],
+                                    axis=1)[:, 0]
+    old_repl = jnp.take_along_axis(results, first_best[:, None],
+                                   axis=1)[:, 0]
+
+    do_mutate = apply_mask & ~value_found & has_repl
+    do_saturate = apply_mask & ~value_found & ~has_repl
+
+    new_id = jnp.where(old_repl > smask, idv | smask, idv)
+    dest_m = jnp.where(do_mutate, repl_rank, jnp.int32(d_size))
+    data = data.at[dest_m].set(new_id, mode="drop")
+    cnts = cnts.at[dest_m].add(jnp.asarray(1, cnts.dtype), mode="drop")
+
+    dest_s = jnp.where(do_saturate[:, None], safe_rk, jnp.int32(d_size))
+    data = data.at[dest_s].set(results | smask, mode="drop")
+    return data, cnts
+
+
+def insert_saturation(m: MIBloomFilter, counts: jax.Array, hashes: U64,
+                      id_value: int, valid=None,
+                      max_entangled: int | None = None):
+    """Phase 4 (setSatIfMissing, MIBFConstructSupport.hpp:168-214),
+    batched-exact: group collapse + entangled replay (see
+    :func:`saturation_ranks`), bit-identical to the per-frame scan mirror
+    :func:`insert_saturation_sequential`. Returns (mibf, counts)."""
+    rk, v = _phase4_ranks(m, hashes, valid)
+    if rk.shape[0] <= 2:
+        return insert_saturation_sequential(m, counts, hashes, id_value,
+                                            valid)
+    data, counts = saturation_ranks(m.data, counts, rk, v, m.d_size,
+                                    m.data_width, id_value, max_entangled)
     return dataclasses.replace(m, data=data), counts
 
 

@@ -347,3 +347,58 @@ def test_sdsl_rank_samples_roundtrip_and_validation():
     bad[-4] ^= 0xFF
     with pytest.raises(ValueError):
         sdsl_io.deserialize_bit_vector_il(bytes(bad))
+
+
+def test_insert_bv_colli_batched_matches_sequential():
+    """The batched insertBVColli must be bit-identical to the scan
+    mirror on duplicate-heavy streams with invalid frames mixed in."""
+    size, h = 1024, 3  # small => heavy cross-frame bit sharing
+    rng = np.random.default_rng(31)
+    hashes = rand_hashes(120, h, 31)
+    # interleave duplicates at varying distances
+    stream = np.concatenate([hashes[:40], hashes[10:50], hashes,
+                             hashes[::3]])
+    valid = rng.random(len(stream)) < 0.85
+
+    def fresh():
+        return mibf_construct.BitVectorState(
+            bv_words=jnp.zeros(size // 32, jnp.uint32), filter_size=size,
+            kmer_size=9, hash_num=h, occupancy=0.5, sseeds=())
+
+    st1, c1 = mibf_construct.insert_bv_colli_sequential(
+        fresh(), u64.from_numpy(stream), jnp.asarray(valid))
+    st2, c2 = mibf_construct.insert_bv_colli(
+        fresh(), u64.from_numpy(stream), jnp.asarray(valid))
+    assert int(c1) == int(c2)
+    np.testing.assert_array_equal(np.asarray(st1.bv_words),
+                                  np.asarray(st2.bv_words))
+
+
+@pytest.mark.parametrize("max_entangled", [None, 2])
+def test_insert_saturation_batched_matches_sequential(max_entangled):
+    """Batched phase 4 (group collapse + entangled replay) must be
+    bit-identical to the per-frame scan on a stream mixing duplicates,
+    mutate rescues, saturations, and invalid frames; max_entangled=2
+    forces the full-sequential fallback."""
+    st, py, _ = build_pair(size=2048, h=4, n=150)
+    base = rand_hashes(150, 4, 1)
+    m0, counts0 = mibf_construct.get_empty_mibf(st)
+    for idv, lo in [(3, 0), (5, 40), (9, 80)]:
+        m0, counts0 = mibf_construct.insert_mibf(
+            m0, counts0, u64.from_numpy(base[lo: lo + 40]), idv)
+
+    rng = np.random.default_rng(7)
+    # duplicates + overlapping windows => entangled groups; id 7 is absent
+    # from construction so both mutate and saturate branches fire
+    stream = np.concatenate([base[90:130], base[100:140], base[90:110]])
+    valid = rng.random(len(stream)) < 0.9
+
+    m1, c1 = mibf_construct.insert_saturation_sequential(
+        m0, counts0, u64.from_numpy(stream), 7, jnp.asarray(valid))
+    m2, c2 = mibf_construct.insert_saturation(
+        m0, counts0, u64.from_numpy(stream), 7, jnp.asarray(valid),
+        max_entangled=max_entangled)
+    np.testing.assert_array_equal(np.asarray(m1.data), np.asarray(m2.data))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    # sanity: the pass really did something on both branches
+    assert (np.asarray(m2.data) != np.asarray(m0.data)).any()
