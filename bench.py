@@ -45,18 +45,32 @@ REPS = 10
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
 
+# Pinned single-core C++ reference rate: median of 10 runs on the driver
+# machine (2026-08-20, g++ -O3, pinned config above; run log in
+# BASELINE.md "Pinned C++ baseline"). vs_baseline divides by THIS so the
+# headline multiplier is comparable across rounds — single live runs
+# swung +-30% with machine load (r1: 5.5M, r2 docs: 4.68M, BENCH_r02:
+# 3.54M). The live median is still measured and reported alongside.
+PINNED_CPP_KMERS_PER_S = 5.46e6
+
+
 def cpp_baseline():
-    """Compile+run the reference insert loop single-core; returns kmers/s."""
+    """Compile+run the reference insert loop single-core; returns the
+    MEDIAN of 3 runs in kmers/s (single runs varied +-30% across rounds —
+    VERDICT r2 weak #5)."""
     exe = "/tmp/btl_cpp_bench"
     src = os.path.join(_DIR, "bench", "cpp_bench.cpp")
     try:
         subprocess.run(["g++", "-O3", "-std=c++11", "-I/root/reference",
                         "-o", exe, src], check=True, capture_output=True,
                        timeout=120)
-        out = subprocess.run(
-            [exe, str(K), str(H), str(SIZE), "128", "2048"],
-            check=True, capture_output=True, timeout=300)
-        return json.loads(out.stdout.decode())["insert_kmers_per_s"]
+        rates = []
+        for _ in range(3):
+            out = subprocess.run(
+                [exe, str(K), str(H), str(SIZE), "128", "2048"],
+                check=True, capture_output=True, timeout=300)
+            rates.append(json.loads(out.stdout.decode())["insert_kmers_per_s"])
+        return float(np.median(rates))
     except Exception as e:  # noqa: BLE001  (bench must always emit a line)
         print(f"cpp baseline failed: {e}", file=sys.stderr)
         return None
@@ -183,18 +197,24 @@ def main():
 
     rate = tpu_rate()
     base = cpp_baseline()
-    vs = rate / base if base else None
+    vs = rate / PINNED_CPP_KMERS_PER_S
     extras = query_rates()
     if args.full:
         print(json.dumps({k: round(v, 1) for k, v in extras.items()
                           if v is not None}), file=sys.stderr)
+    if base and abs(base - PINNED_CPP_KMERS_PER_S) > 0.2 * \
+            PINNED_CPP_KMERS_PER_S:
+        print(f"WARNING: live C++ median {base:.3g} deviates >20% from "
+              f"pinned {PINNED_CPP_KMERS_PER_S:.3g}; consider re-pinning",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "kmer_inserts_per_s",
         "value": round(rate, 1),
         "unit": "kmers/s",
-        "vs_baseline": round(vs, 3) if vs is not None else None,
+        "vs_baseline": round(vs, 3),
         "query_kmers_per_s": round(extras["classic_query_kmers_per_s"], 1),
         "roofline_frac": round(roofline_frac(rate), 4),
+        "cpp_baseline_pinned_kmers_per_s": PINNED_CPP_KMERS_PER_S,
         "cpp_baseline_kmers_per_s": round(base, 1) if base else None,
     }))
 
