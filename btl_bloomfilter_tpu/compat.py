@@ -182,10 +182,15 @@ class CountingBloomFilter:
             self._cbf, _as_hash_array(hashes))))
 
     def minCount(self, hashes) -> int:
-        return int(np.asarray(counting_mod.min_count(
-            self._cbf, _as_hash_array(hashes))))
+        mc = counting_mod.min_count(self._cbf, _as_hash_array(hashes))
+        if self._cbf.is_u64:
+            return (int(np.asarray(mc.hi)) << 32) | int(np.asarray(mc.lo))
+        return int(np.asarray(mc))
 
     def __getitem__(self, i: int) -> int:
+        if self._cbf.is_u64:
+            return (int(np.asarray(self._cbf.counters[1, i])) << 32) | \
+                int(np.asarray(self._cbf.counters[0, i]))
         return int(np.asarray(self._cbf.counters[i]))
 
     def popCount(self) -> int:

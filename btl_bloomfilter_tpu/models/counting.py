@@ -17,10 +17,11 @@ gather/compare/scatter that XLA keeps on-chip. The vectorized
 at full scatter throughput.
 
 Counter widths 1/2/4 bytes are stored natively; width 8 (the reference's
-``CountingBloomFilter<uint64_t>``) is stored as a uint32 plane — counts
-saturate at 2**32-1 instead of 2**64-1, unreachable in any real workload —
-and serialized as little-endian u64 with zero high words, byte-identical to
-the reference for all reachable counts.
+``CountingBloomFilter<uint64_t>``) is stored as TWO uint32 planes
+(``counters[0]`` = low words, ``counters[1]`` = high words — a minor-dim-2
+layout would pad to 128 TPU lanes) with exact uint64 arithmetic
+throughout: min/compare/increment/saturation all operate on the limb
+pairs, so counter values and serialization stay exact past 2**32-1.
 """
 
 from __future__ import annotations
@@ -58,15 +59,19 @@ class CountingBloomFilter:
         return self.size * self.counter_width
 
     @property
+    def is_u64(self) -> bool:
+        return self.counter_width == 8
+
+    @property
     def counter_max(self) -> int:
-        # width-8 saturates at 2**32-1 in this implementation (see module doc)
-        return (1 << (8 * min(self.counter_width, 4))) - 1
+        return (1 << (8 * self.counter_width)) - 1
 
     def counter_bytes(self) -> bytes:
         arr = np.asarray(self.counters)
         if self.counter_width == 8:
-            out = np.zeros((self.size, 2), dtype="<u4")
-            out[:, 0] = arr
+            out = np.empty((self.size, 2), dtype="<u4")
+            out[:, 0] = arr[0]          # low words
+            out[:, 1] = arr[1]          # high words
             return out.tobytes()
         return arr.astype(_NP_LE[self.counter_width]).tobytes()
 
@@ -81,8 +86,9 @@ def create(size_in_bytes: int, hash_num: int, kmer_size: int,
     if rem:
         size_in_bytes += 8 - rem
     size = size_in_bytes // counter_width
+    shape = (2, size) if counter_width == 8 else (size,)
     return CountingBloomFilter(
-        counters=jnp.zeros(size, _DTYPES[counter_width]), size=size,
+        counters=jnp.zeros(shape, _DTYPES[counter_width]), size=size,
         hash_num=hash_num, kmer_size=kmer_size,
         count_threshold=count_threshold, counter_width=counter_width)
 
@@ -92,10 +98,8 @@ def from_bytes(buf: bytes, *, size: int, hash_num: int, kmer_size: int,
                bits_per_counter: int = 8) -> CountingBloomFilter:
     if counter_width == 8:
         raw = np.frombuffer(buf, dtype="<u8", count=size)
-        if (raw >> np.uint64(32)).any():
-            raise NotImplementedError(
-                "u64 counter value above 2**32-1 in file")
-        arr = raw.astype(np.uint32)
+        arr = np.stack([(raw & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                        (raw >> np.uint64(32)).astype(np.uint32)])
     else:
         arr = np.frombuffer(buf, dtype=_NP_LE[counter_width], count=size).copy()
     return CountingBloomFilter(
@@ -121,8 +125,11 @@ def _positions(cbf: CountingBloomFilter, hashes: U64) -> jax.Array:
 def _gather_kernel_eligible(cbf: CountingBloomFilter) -> bool:
     """Use the Mosaic windowed gather kernel for counter reads when the
     packed uint32 view spans at least one kernel window and counter bit
-    positions fit uint32 (nwords*32 <= 2**32)."""
+    positions fit uint32 (nwords*32 <= 2**32). Dual-plane u64 filters
+    take the XLA gather (two planes, no packed view)."""
     from ..kernels import scatter_or as _so
+    if cbf.is_u64:
+        return False
     nwords = cbf.size // _counters_per_word(cbf)
     return (nwords <= (1 << 27) and nwords >= _so.WIN_WORDS
             and jax.default_backend() != "cpu")
@@ -147,15 +154,28 @@ def gather_counters_kernel(cbf: CountingBloomFilter, pos: jax.Array):
     return v.reshape(pos.shape), over
 
 
+def _min_count_u64(cbf: CountingBloomFilter, pos: jax.Array) -> U64:
+    """64-bit minimum of the h counters per frame (dual-plane layout)."""
+    lo = cbf.counters[0][pos]
+    hi = cbf.counters[1][pos]
+    h = pos.shape[-1]
+    m = U64(hi[..., 0], lo[..., 0])
+    for j in range(1, h):
+        m = u64.min_(m, U64(hi[..., j], lo[..., j]))
+    return m
+
+
 def min_count(cbf: CountingBloomFilter, hashes: U64,
-              use_kernel: bool | None = None) -> jax.Array:
+              use_kernel: bool | None = None):
     """Minimum of the h counters per frame (CountingBloomFilter.hpp:54-64).
-    hashes U64[..., h] -> counts[...].
+    hashes U64[..., h] -> counts[...] (a U64 limb pair for uint64 filters).
 
     On TPU, large filters route the counter gathers through the Mosaic
     windowed gather kernel; ``use_kernel`` forces the choice (None =
     auto). Window-overflow batches recompute via the XLA gather."""
     pos = _positions(cbf, hashes)
+    if cbf.is_u64:
+        return _min_count_u64(cbf, pos)
     if use_kernel is None:
         # same fixed-cost crossover as mibf.at_rank (bench/mibf_probe.py)
         use_kernel = _gather_kernel_eligible(cbf) and pos.size >= (1 << 21)
@@ -171,8 +191,11 @@ def min_count(cbf: CountingBloomFilter, hashes: U64,
 
 def contains(cbf: CountingBloomFilter, hashes: U64,
              use_kernel: bool | None = None) -> jax.Array:
-    return min_count(cbf, hashes, use_kernel) >= jnp.asarray(
-        cbf.count_threshold, cbf.counters.dtype)
+    mc = min_count(cbf, hashes, use_kernel)
+    if cbf.is_u64:
+        thr = u64.from_u64_int(int(cbf.count_threshold))
+        return u64.ge(mc, u64.broadcast_to(thr, mc.hi.shape))
+    return mc >= jnp.asarray(cbf.count_threshold, cbf.counters.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -193,6 +216,28 @@ def insert_sequential(cbf: CountingBloomFilter, hashes: U64,
         v = jnp.ones((n,), bool)
     else:
         v = jnp.broadcast_to(jnp.asarray(valid), hashes.hi.shape[:-1]).reshape(-1)
+
+    if cbf.is_u64:
+        def step64(planes, inp):
+            lo_pl, hi_pl = planes
+            p, ok = inp
+            clo = lo_pl[p]
+            chi = hi_pl[p]
+            mn = U64(chi[0], clo[0])
+            for j in range(1, h):
+                mn = u64.min_(mn, U64(chi[j], clo[j]))
+            new = u64.add(mn, u64.broadcast_to(u64.from_u64_int(1), ()))
+            frozen = u64.lt(new, mn)               # wraparound => freeze
+            do = ok & ~frozen
+            iseq = (clo == mn.lo) & (chi == mn.hi)
+            upd_lo = jnp.where(do & iseq, new.lo, clo)
+            upd_hi = jnp.where(do & iseq, new.hi, chi)
+            return (lo_pl.at[p].set(upd_lo), hi_pl.at[p].set(upd_hi)), None
+
+        (lo_pl, hi_pl), _ = jax.lax.scan(
+            step64, (cbf.counters[0], cbf.counters[1]), (pos, v))
+        return dataclasses.replace(cbf,
+                                   counters=jnp.stack([lo_pl, hi_pl]))
 
     dtype = cbf.counters.dtype
 
@@ -260,21 +305,22 @@ def insert(cbf: CountingBloomFilter, hashes: U64, valid=None,
                              hashes.hi.shape[:-1]).reshape(-1)
     if n <= 2:
         return insert_sequential(cbf, hashes, valid)
+    if cbf.is_u64:
+        lo, hi = insert_positions_u64(cbf.counters[0], cbf.counters[1],
+                                      pos, v, cbf.size, max_entangled)
+        return dataclasses.replace(cbf, counters=jnp.stack([lo, hi]))
     counters = insert_positions(cbf.counters, pos, v, cbf.counter_max,
                                 cbf.size, max_entangled)
     return dataclasses.replace(cbf, counters=counters)
 
 
-def insert_positions(counters: jax.Array, pos: jax.Array, v: jax.Array,
-                     counter_max: int, size: int,
-                     max_entangled: int | None = None) -> jax.Array:
-    """Position-level core of :func:`insert` (the group-collapse +
-    entangled-replay decomposition): conservative-update ``counters``
-    (uint array[size]) with frames ``pos`` (uint32[n, h] indices < size,
-    invalid frames masked by ``v`` bool[n]), bit-identical to stream
-    order. Shared by the single-device path and the sharded distributed
-    path (parallel/dist_counting.py), which runs it on a compacted table
-    of the touched counters only."""
+def _conservative_decompose(pos: jax.Array, v: jax.Array,
+                            max_entangled: int | None):
+    """Shared decomposition of the batched conservative update: group
+    frames by identical position multiset, split untangled groups (no
+    position shared with another group) from entangled ones, and compact
+    the entangled frames in stream order. Pure position logic —
+    independent of the counter representation."""
     n, h = pos.shape
     sent = jnp.uint32(0xFFFFFFFF)  # > any position (size <= 2**32-1)
     pos = jnp.where(v[:, None], pos.astype(jnp.uint32), sent)
@@ -321,24 +367,39 @@ def insert_positions(counters: jax.Array, pos: jax.Array, v: jax.Array,
 
     live_s = ks[:, 0] != sent                            # frame is valid
     entangled_s = entangled_s & live_s
-
-    # --- 3. closed form for untangled groups (their representatives) -----
     rep = new_grp & live_s & ~entangled_s
-    counters0 = counters
-    counters = _group_closed_form(counters0, ks, run_len,
-                                  counters0.dtype, counter_max,
-                                  rep, size)
 
-    # --- 4. sequential replay of entangled frames in stream order --------
+    # --- compact entangled frames, ordered by original stream position ---
     cap = max_entangled if max_entangled is not None else max(256, n // 8)
     cap = min(cap, n)
     n_ent = jnp.sum(entangled_s.astype(jnp.int32))
-    # compact entangled frames, ordered by original stream position
     ent_key = jnp.where(entangled_s, frame_of, jnp.int32(n))
     ent_sorted = jax.lax.sort(ent_key)[:cap]
     ent_pos = pos[jnp.minimum(ent_sorted, n - 1)]
     ent_ok = ent_sorted < n
+    return dict(pos=pos, sent=sent, ks=ks, run_len=run_len, rep=rep,
+                cap=cap, n_ent=n_ent, ent_pos=ent_pos, ent_ok=ent_ok)
 
+
+def insert_positions(counters: jax.Array, pos: jax.Array, v: jax.Array,
+                     counter_max: int, size: int,
+                     max_entangled: int | None = None) -> jax.Array:
+    """Position-level core of :func:`insert` (the group-collapse +
+    entangled-replay decomposition): conservative-update ``counters``
+    (uint array[size]) with frames ``pos`` (uint32[n, h] indices < size,
+    invalid frames masked by ``v`` bool[n]), bit-identical to stream
+    order. Shared by the single-device path and the sharded distributed
+    path (parallel/dist_counting.py), which runs it on a compacted table
+    of the touched counters only."""
+    d = _conservative_decompose(pos, v, max_entangled)
+
+    # --- 3. closed form for untangled groups (their representatives) -----
+    counters0 = counters
+    counters = _group_closed_form(counters0, d["ks"], d["run_len"],
+                                  counters0.dtype, counter_max,
+                                  d["rep"], size)
+
+    # --- 4. sequential replay of entangled frames in stream order --------
     dtype = counters0.dtype
 
     def step(cs, inp):
@@ -353,20 +414,90 @@ def insert_positions(counters: jax.Array, pos: jax.Array, v: jax.Array,
         return cs.at[p32].set(jnp.where(do, upd, curf)), None
 
     def replay(cs):
-        out, _ = jax.lax.scan(step, cs, (ent_pos, ent_ok))
+        out, _ = jax.lax.scan(step, cs, (d["ent_pos"], d["ent_ok"]))
         return out
 
-    counters = jax.lax.cond(n_ent > 0, replay, lambda cs: cs, counters)
+    counters = jax.lax.cond(d["n_ent"] > 0, replay, lambda cs: cs, counters)
 
     # too many entangled frames for the buffer: redo everything serially
     def full_sequential(_):
-        out, _ = jax.lax.scan(step, counters0,
-                              (pos, v & (pos[:, 0] != sent)))
+        out, _ = jax.lax.scan(
+            step, counters0,
+            (d["pos"], v & (d["pos"][:, 0] != d["sent"])))
         return out
 
-    counters = jax.lax.cond(n_ent > cap, full_sequential,
+    counters = jax.lax.cond(d["n_ent"] > d["cap"], full_sequential,
                             lambda _: counters, None)
     return counters
+
+
+def insert_positions_u64(lo: jax.Array, hi: jax.Array, pos: jax.Array,
+                         v: jax.Array, size: int,
+                         max_entangled: int | None = None):
+    """uint64 twin of :func:`insert_positions` on the dual uint32 planes:
+    the same group-collapse + entangled-replay decomposition with exact
+    64-bit min/increment/freeze arithmetic. Returns (lo, hi)."""
+    d = _conservative_decompose(pos, v, max_entangled)
+    n, h = pos.shape
+    lo0, hi0 = lo, hi
+
+    # --- closed form for untangled groups --------------------------------
+    # after c updates every counter is max64(cur, mn + inc) with
+    # inc = min(c, (2**64-1) - mn)
+    rep = d["rep"]
+    ks = d["ks"]
+    safe_ks = jnp.where(rep[:, None], ks, 0).astype(jnp.int32)
+    clo = lo0[safe_ks]
+    chi = hi0[safe_ks]
+    mn = U64(chi[:, 0], clo[:, 0])
+    for j in range(1, h):
+        mn = u64.min_(mn, U64(chi[:, j], clo[:, j]))
+    c64 = U64(jnp.zeros_like(mn.hi), d["run_len"].astype(jnp.uint32))
+    headroom = u64.sub(u64.full_like(mn, (1 << 64) - 1), mn)
+    inc = u64.select(u64.lt(c64, headroom), c64, headroom)
+    target = u64.add(mn, inc)
+    t_hi = jnp.broadcast_to(target.hi[:, None], chi.shape)
+    t_lo = jnp.broadcast_to(target.lo[:, None], clo.shape)
+    takes = u64.lt(U64(chi, clo), U64(t_hi, t_lo))
+    upd_lo = jnp.where(takes, t_lo, clo)
+    upd_hi = jnp.where(takes, t_hi, chi)
+    dest = jnp.where(rep[:, None], safe_ks, size)
+    lo = lo0.at[dest].set(upd_lo, mode="drop")
+    hi = hi0.at[dest].set(upd_hi, mode="drop")
+
+    # --- sequential replay of entangled frames ---------------------------
+    def step(planes, inp):
+        lo_pl, hi_pl = planes
+        p, ok = inp
+        p32 = p.astype(jnp.int32)
+        flo = lo_pl[p32]
+        fhi = hi_pl[p32]
+        m = U64(fhi[0], flo[0])
+        for j in range(1, h):
+            m = u64.min_(m, U64(fhi[j], flo[j]))
+        new = u64.add(m, u64.broadcast_to(u64.from_u64_int(1), ()))
+        frozen = u64.lt(new, m)
+        do = ok & ~frozen
+        iseq = (flo == m.lo) & (fhi == m.hi)
+        nlo = jnp.where(do & iseq, new.lo, flo)
+        nhi = jnp.where(do & iseq, new.hi, fhi)
+        return (lo_pl.at[p32].set(nlo), hi_pl.at[p32].set(nhi)), None
+
+    def replay(planes):
+        out, _ = jax.lax.scan(step, planes, (d["ent_pos"], d["ent_ok"]))
+        return out
+
+    lo, hi = jax.lax.cond(d["n_ent"] > 0, replay, lambda pl: pl, (lo, hi))
+
+    def full_sequential(_):
+        out, _ = jax.lax.scan(
+            step, (lo0, hi0),
+            (d["pos"], v & (d["pos"][:, 0] != d["sent"])))
+        return out
+
+    lo, hi = jax.lax.cond(d["n_ent"] > d["cap"], full_sequential,
+                          lambda _: (lo, hi), None)
+    return lo, hi
 
 
 def insert_and_check(cbf: CountingBloomFilter, hashes: U64, valid=None):
@@ -416,6 +547,8 @@ def _from_u32_words(words: jax.Array, cbf: CountingBloomFilter) -> jax.Array:
 
 def _kernel_eligible(cbf: CountingBloomFilter) -> bool:
     from ..kernels import scatter_or as _so
+    if cbf.is_u64:
+        return False
     nwords = cbf.size // _counters_per_word(cbf)
     return (cbf.size < (1 << 31) and nwords >= _so.WIN_WORDS
             and jax.default_backend() != "cpu")
@@ -439,6 +572,20 @@ def insert_all(cbf: CountingBloomFilter, hashes: U64, valid=None,
                              hashes.hi.shape).reshape(-1)
     else:
         v = None
+    if cbf.is_u64:
+        ones = jnp.ones(pos.shape, jnp.uint32) if v is None \
+            else v.astype(jnp.uint32)
+        occ = jnp.zeros((cbf.size,), jnp.uint32).at[pos].add(
+            ones, mode="drop")
+        lo0, hi0 = cbf.counters[0], cbf.counters[1]
+        lo = lo0 + occ
+        carry = (lo < lo0).astype(jnp.uint32)
+        hi = hi0 + carry
+        # saturate at 2**64-1 on the (unreachable) 64-bit wrap
+        ov = (carry == 1) & (hi0 == jnp.uint32(0xFFFFFFFF))
+        lo = jnp.where(ov, jnp.uint32(0xFFFFFFFF), lo)
+        hi = jnp.where(ov, jnp.uint32(0xFFFFFFFF), hi)
+        return dataclasses.replace(cbf, counters=jnp.stack([lo, hi]))
     if use_kernel is None:
         use_kernel = _kernel_eligible(cbf)
     if use_kernel:
@@ -481,11 +628,19 @@ def insert_all(cbf: CountingBloomFilter, hashes: U64, valid=None,
 
 def pop_count(cbf: CountingBloomFilter) -> jax.Array:
     """Non-zero counters (CountingBloomFilter.hpp:217-228)."""
+    if cbf.is_u64:
+        return jnp.sum(((cbf.counters[0] | cbf.counters[1]) != 0)
+                       .astype(jnp.uint32))
     return jnp.sum((cbf.counters != 0).astype(jnp.uint32))
 
 
 def filtered_pop_count(cbf: CountingBloomFilter) -> jax.Array:
     """Counters >= threshold (CountingBloomFilter.hpp:231-242)."""
+    if cbf.is_u64:
+        thr = u64.broadcast_to(u64.from_u64_int(int(cbf.count_threshold)),
+                               cbf.counters[0].shape)
+        ge = u64.ge(U64(cbf.counters[1], cbf.counters[0]), thr)
+        return jnp.sum(ge.astype(jnp.uint32))
     thr = jnp.asarray(cbf.count_threshold, cbf.counters.dtype)
     return jnp.sum((cbf.counters >= thr).astype(jnp.uint32))
 

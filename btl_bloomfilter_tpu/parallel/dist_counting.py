@@ -62,6 +62,16 @@ def dp_insert_all_seq(mesh: Mesh, cbf: counting_mod.CountingBloomFilter,
         occ = jnp.zeros((size,), jnp.uint32).at[pos].add(
             v.astype(jnp.uint32), mode="drop")
         total = lax.psum(occ, AXIS)
+        if cbf.is_u64:
+            # dual-plane exact u64 add (models.counting.insert_all)
+            lo0, hi0 = counters[0], counters[1]
+            lo = lo0 + total
+            carry = (lo < lo0).astype(jnp.uint32)
+            hi = hi0 + carry
+            ov = (carry == 1) & (hi0 == jnp.uint32(0xFFFFFFFF))
+            lo = jnp.where(ov, jnp.uint32(0xFFFFFFFF), lo)
+            hi = jnp.where(ov, jnp.uint32(0xFFFFFFFF), hi)
+            return jnp.stack([lo, hi])
         wide = counters.astype(jnp.uint32) + total
         return jnp.minimum(wide, jnp.uint32(cbf.counter_max)).astype(
             counters.dtype)
@@ -128,6 +138,11 @@ def create_sharded(mesh: Mesh, size_in_bytes: int, hash_num: int,
     multiple of 8 (CountingBloomFilter.hpp:31-50) and of the shard
     count so every shard holds the same number of counters."""
     p = mesh.devices.size
+    if counter_width == 8:
+        raise NotImplementedError(
+            "sharded counter planes support widths 1/2/4; uint64 filters "
+            "scale out data-parallel (dp_insert_all_seq handles the "
+            "dual-plane layout)")
     size_in_bytes += -size_in_bytes % (8 * p)
     size = size_in_bytes // counter_width
     if size > (1 << 32):

@@ -289,3 +289,90 @@ def test_conservative_update_entangled_overflow_fallback():
     b = counting.insert(cbf0, hs, max_entangled=16)
     np.testing.assert_array_equal(np.asarray(a.counters),
                                   np.asarray(b.counters))
+
+
+# ---------------------------------------------------------------------------
+# true uint64 counters: exact past 2**32-1 (dual uint32 planes)
+# ---------------------------------------------------------------------------
+
+def _cbf64_with_values(values, h, threshold=1):
+    """Width-8 filter whose counter plane is seeded from a numpy uint64
+    array (via the serialization path, which is itself under test)."""
+    vals = np.asarray(values, dtype="<u8")
+    return counting.from_bytes(
+        vals.tobytes(), size=len(vals), hash_num=h, kmer_size=5,
+        count_threshold=threshold, counter_width=8)
+
+
+def _cbf64_model(cbf):
+    arr = np.asarray(cbf.counters)
+    return arr[0].astype(np.uint64) | (arr[1].astype(np.uint64) << np.uint64(32))
+
+
+def test_cbf64_conservative_update_crosses_2_32():
+    h = 2
+    base = np.array([(1 << 32) - 1, (1 << 32) - 1, (1 << 33) + 5,
+                     7, 0, (1 << 40), 3, 12], dtype=np.uint64)
+    cbf = _cbf64_with_values(base, h)
+    # frames touching the boundary counters: min of {2^32-1, 2^32-1} -> both
+    # increment to exactly 2^32 (carry into the high plane)
+    hashes = np.array([[0, 1], [0, 1], [2, 5], [4, 3]], dtype=np.uint64)
+    model = base.copy()
+    for row in hashes:
+        pos = (row % np.uint64(cbf.size)).astype(int)
+        mn = model[pos].min()
+        if mn == np.uint64(0xFFFFFFFFFFFFFFFF):
+            continue
+        model[pos] = np.where(model[pos] == mn, mn + np.uint64(1),
+                              model[pos])
+    a = counting.insert_sequential(cbf, u64.from_numpy(hashes))
+    b = counting.insert(cbf, u64.from_numpy(hashes))
+    np.testing.assert_array_equal(_cbf64_model(a), model)
+    np.testing.assert_array_equal(_cbf64_model(b), model)
+    assert model[0] == (1 << 32) + 1  # really crossed the boundary
+
+
+def test_cbf64_increment_all_carry_and_freeze():
+    h = 1
+    base = np.array([(1 << 32) - 3, (1 << 48), 0, 5,
+                     0xFFFFFFFFFFFFFFFF, 1, 2, 3], dtype=np.uint64)
+    cbf = _cbf64_with_values(base, h)
+    # 10 occurrences of counter 0 -> crosses into the high plane
+    hashes = np.concatenate([np.zeros((10, 1), np.uint64),
+                             np.full((4, 1), 1, np.uint64)])
+    cbf2 = counting.insert_all(cbf, u64.from_numpy(hashes))
+    got = _cbf64_model(cbf2)
+    assert got[0] == (1 << 32) + 7
+    assert got[1] == (1 << 48) + 4
+    assert got[4] == 0xFFFFFFFFFFFFFFFF  # saturated stays put
+    # conservative path freezes at 2**64-1 (no wraparound)
+    h4 = np.full((3, 1), 4, np.uint64)
+    cbf3 = counting.insert(cbf, u64.from_numpy(h4))
+    assert _cbf64_model(cbf3)[4] == 0xFFFFFFFFFFFFFFFF
+
+
+def test_cbf64_min_count_contains_and_roundtrip(tmp_path):
+    h = 2
+    base = np.array([(1 << 35), (1 << 35) + 9, 6, (1 << 32),
+                     0, 0, 1, 2], dtype=np.uint64)
+    thr = (1 << 34)
+    cbf = _cbf64_with_values(base, h, threshold=thr)
+    hashes = np.array([[0, 1], [2, 3], [1, 3]], dtype=np.uint64)
+    mc = counting.min_count(cbf, u64.from_numpy(hashes))
+    got = np.asarray(mc.lo).astype(np.uint64) | (
+        np.asarray(mc.hi).astype(np.uint64) << np.uint64(32))
+    np.testing.assert_array_equal(got, [1 << 35, 6, 1 << 32])
+    hits = np.asarray(counting.contains(cbf, u64.from_numpy(hashes)))
+    np.testing.assert_array_equal(hits, [True, False, False])
+    assert int(counting.pop_count(cbf)) == 6
+    # >= 2**34: the two 2**35-scale counters only (2**32 < threshold)
+    assert int(counting.filtered_pop_count(cbf)) == 2
+
+    # serialization round-trips the high words exactly
+    p = tmp_path / "u64.bf"
+    bf_format.store_counting(cbf, str(p))
+    back = bf_format.load_counting(str(p), count_threshold=thr)
+    assert back.counter_width == 8
+    np.testing.assert_array_equal(_cbf64_model(back), base)
+    raw = np.frombuffer(p.read_bytes()[-8 * cbf.size:], dtype="<u8")
+    np.testing.assert_array_equal(raw, base)
