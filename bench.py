@@ -82,8 +82,7 @@ def tpu_rate():
     import jax
     import jax.numpy as jnp
 
-    from btl_bloomfilter_tpu.models import bloom
-    from btl_bloomfilter_tpu.ops import nthash
+    from btl_bloomfilter_tpu.models import bloom, kmer_bloom
 
     rng = np.random.default_rng(0)
     codes = jnp.asarray(rng.integers(0, 4, size=(B, L), dtype=np.uint8))
@@ -91,10 +90,10 @@ def tpu_rate():
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(words, codes):
-        frames = nthash.hash_frames(codes, K, H)
         state = bloom.BloomFilter(words=words, size=SIZE, hash_num=H,
                                   kmer_size=K)
-        return bloom.insert(state, frames.hashes, frames.valid).words
+        # fused hash kernel -> unstable sort -> ring scatter kernel
+        return kmer_bloom.insert_seq(state, codes).words
 
     def drain(w):
         # On the remote-TPU platform block_until_ready does not actually
@@ -122,7 +121,7 @@ def query_rates():
     import jax
     import jax.numpy as jnp
 
-    from btl_bloomfilter_tpu.models import blocked, bloom
+    from btl_bloomfilter_tpu.models import blocked, bloom, kmer_bloom
     from btl_bloomfilter_tpu.ops import nthash
 
     rng = np.random.default_rng(0)
@@ -143,10 +142,10 @@ def query_rates():
 
     @jax.jit
     def classic_query(words, codes):
-        f = nthash.hash_frames(codes, K, H)
         st = bloom.BloomFilter(words=words, size=SIZE, hash_num=H,
                                kmer_size=K)
-        return bloom.contains(st, f.hashes) & f.valid
+        hit, valid = kmer_bloom.contains_seq(st, codes)
+        return hit
 
     out["classic_query_kmers_per_s"] = timed(classic_query, bf.words, codes)
 

@@ -85,7 +85,7 @@ def insert(bf: BlockedBloomFilter, canon: U64, valid=None
         v = jnp.broadcast_to(jnp.asarray(valid)[..., None],
                              bits.shape).reshape(-1)
         pos = jnp.where(v, pos, jnp.uint32(0xFFFFFFFF))
-    pos_s = jnp.sort(pos)
+    pos_s = jax.lax.sort((pos,), is_stable=False)[0]
     keep = jnp.ones(pos_s.shape, bool).at[1:].set(pos_s[1:] != pos_s[:-1])
     keep = keep & (pos_s != jnp.uint32(0xFFFFFFFF))
     nwords = bf.nblocks * WORDS_PER_BLOCK

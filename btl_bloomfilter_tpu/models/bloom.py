@@ -108,7 +108,7 @@ def bit_positions(hashes: U64, size: int):
 def _dedupe_mask_sorted(hi: jax.Array, lo: jax.Array):
     """Sort positions lexicographically; return (hi, lo, keep) where keep
     marks the first occurrence of each distinct position."""
-    hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+    hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
     first = jnp.ones(hi_s.shape, bool)
     neq = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
     keep = first.at[1:].set(neq)
@@ -168,32 +168,13 @@ def insert(bf: BloomFilter, hashes: U64, valid=None,
         v = None
 
     # fast path: positions fit one limb -> single-key sort. (At exactly
-    # size == 2**32 the sentinel would collide with a real position when a
-    # valid mask is present; use the 2-key path there.)
-    if bf.size < (1 << 32) or (bf.size == (1 << 32) and v is None):
-        sent = jnp.uint32(0xFFFFFFFF)
+    # size == 2**32 the 0xFFFFFFFF sentinel would collide with a real
+    # position; the 2-key path below handles that edge.)
+    if bf.size < (1 << 32):
         pos = r.lo
         if v is not None:
-            pos = jnp.where(v, pos, sent)
-        pos_s = jnp.sort(pos)
-        keep = jnp.ones(pos_s.shape, bool).at[1:].set(pos_s[1:] != pos_s[:-1])
-        if v is not None:
-            keep = keep & (pos_s != sent)
-        if use_kernel is None:
-            use_kernel = _kernel_eligible(bf) and bf.size < (1 << 32)
-        if use_kernel:
-            from ..kernels import scatter_ring as _sr
-            pos_d = jnp.where(keep, pos_s, sent)
-            out, over = _sr.scatter_or_sorted(bf.words, pos_d,
-                                              pos_for_base=pos_s)
-            # rare window-overflow fallback: re-apply the (idempotent)
-            # whole batch through the XLA scatter
-            out = jax.lax.cond(
-                over > 0,
-                lambda w: w | sorted_delta_words(pos_s, keep, nwords),
-                lambda w: w, out)
-            return dataclasses.replace(bf, words=out)
-        delta = sorted_delta_words(pos_s, keep, nwords)
+            pos = jnp.where(v, pos, jnp.uint32(0xFFFFFFFF))
+        return insert_sentinel_positions(bf, pos, use_kernel=use_kernel)
     else:
         if v is not None:
             oob_hi = jnp.uint32((bf.size >> 32) + 1)
@@ -210,6 +191,76 @@ def insert(bf: BloomFilter, hashes: U64, valid=None,
         delta = jnp.zeros(nwords, jnp.uint32).at[word].add(
             mask, mode="drop", indices_are_sorted=True)
     return dataclasses.replace(bf, words=bf.words | delta)
+
+
+def insert_sentinel_positions(bf: BloomFilter, pos: jax.Array,
+                              use_kernel: bool | None = None
+                              ) -> BloomFilter:
+    """Insert bit positions already reduced mod size (uint32, any shape),
+    with 0xFFFFFFFF marking slots to skip — the array the fused hash
+    kernel emits (kernels/nthash_scan positions mode). Requires
+    size < 2**32 (the sentinel must stay out of range)."""
+    if bf.size >= (1 << 32):
+        raise ValueError("sentinel-position insert requires size < 2**32")
+    sent = jnp.uint32(0xFFFFFFFF)
+    nwords = bf.words.shape[0]
+    # single-key value sort: unstable lowering is ~2.5x faster on TPU
+    # than the stable default (docs/PERFORMANCE.md sort table)
+    pos_s = jax.lax.sort((pos.reshape(-1),), is_stable=False)[0]
+    keep = jnp.ones(pos_s.shape, bool).at[1:].set(pos_s[1:] != pos_s[:-1])
+    keep = keep & (pos_s != sent)
+    if use_kernel is None:
+        use_kernel = _kernel_eligible(bf)
+    if use_kernel:
+        from ..kernels import scatter_ring as _sr
+        pos_d = jnp.where(keep, pos_s, sent)
+        out, over = _sr.scatter_or_sorted(bf.words, pos_d,
+                                          pos_for_base=pos_s)
+        # rare window-overflow fallback: re-apply the (idempotent)
+        # whole batch through the XLA scatter
+        out = jax.lax.cond(
+            over > 0,
+            lambda w: w | sorted_delta_words(pos_s, keep, nwords),
+            lambda w: w, out)
+        return dataclasses.replace(bf, words=out)
+    delta = sorted_delta_words(pos_s, keep, nwords)
+    return dataclasses.replace(bf, words=bf.words | delta)
+
+
+def contains_sentinel_positions(bf: BloomFilter, pos: jax.Array,
+                                use_kernel: bool | None = None) -> jax.Array:
+    """Membership for position planes pos uint32[h, ...] already reduced
+    mod size, where invalid windows carry 0xFFFFFFFF in every slot (the
+    fused hash kernel's positions mode). Returns hit bool[...] with
+    invalid windows False. Requires size < 2**32."""
+    if bf.size >= (1 << 32):
+        raise ValueError("sentinel-position query requires size < 2**32")
+    sent = jnp.uint32(0xFFFFFFFF)
+    valid_w = pos[0] != sent
+    safe = jnp.where(pos == sent, jnp.uint32(0), pos)
+    word = (safe >> 5).astype(jnp.int32)
+    mask = jnp.uint32(1) << (safe & 31)
+    if use_kernel is None:
+        use_kernel = _kernel_eligible(bf)
+    if use_kernel:
+        from ..kernels import gather_words as _gw
+        flat = safe.reshape(-1)
+        n = flat.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        pos_s, idx_s = jax.lax.sort((flat, idx), num_keys=1,
+                                    is_stable=False)
+        vals_s, over = _gw.gather_words_sorted(bf.words, pos_s)
+        bit_s = (vals_s >> (pos_s & 31)) & 1
+        bit = jax.lax.sort(((idx_s.astype(jnp.uint32) << 1) | bit_s,),
+                           is_stable=False)[0] & 1
+        hit_k = jnp.all(bit.reshape(pos.shape) == 1, axis=0)
+        hit = jax.lax.cond(
+            over > 0,
+            lambda: jnp.all((bf.words[word] & mask) == mask, axis=0),
+            lambda: hit_k)
+        return hit & valid_w
+    got = bf.words[word]
+    return jnp.all((got & mask) == mask, axis=0) & valid_w
 
 
 def contains(bf: BloomFilter, hashes: U64,
@@ -230,11 +281,13 @@ def contains(bf: BloomFilter, hashes: U64,
         pos = r.lo.reshape(-1)
         n = pos.shape[0]
         idx = jnp.arange(n, dtype=jnp.int32)
-        pos_s, idx_s = jax.lax.sort((pos, idx), num_keys=1)
+        pos_s, idx_s = jax.lax.sort((pos, idx), num_keys=1,
+                                    is_stable=False)
         vals_s, over = _gw.gather_words_sorted(bf.words, pos_s)
         bit_s = (vals_s >> (pos_s & 31)) & 1
         # un-sort: pack (index, bit) into one key so the sort is single-op
-        bit = jnp.sort((idx_s.astype(jnp.uint32) << 1) | bit_s) & 1
+        bit = jax.lax.sort(((idx_s.astype(jnp.uint32) << 1) | bit_s,),
+                           is_stable=False)[0] & 1
         hit_k = jnp.all(bit.reshape(hashes.hi.shape) == 1, axis=-1)
         # rare window-overflow fallback: recompute via the XLA gather
         return jax.lax.cond(

@@ -146,11 +146,11 @@ def gather_counters_kernel(cbf: CountingBloomFilter, pos: jax.Array):
     bits = 32 // per
     flat = pos.reshape(-1).astype(jnp.uint32) * jnp.uint32(bits)
     idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
-    p_s, idx_s = jax.lax.sort((flat, idx), num_keys=1)
+    p_s, idx_s = jax.lax.sort((flat, idx), num_keys=1, is_stable=False)
     w_s, over = _gw.gather_words_sorted(_as_u32_words(cbf), p_s)
     elmask = jnp.uint32((1 << bits) - 1 if bits < 32 else 0xFFFFFFFF)
     v_s = (w_s >> (p_s & 31)) & elmask
-    _, v = jax.lax.sort((idx_s, v_s), num_keys=1)
+    _, v = jax.lax.sort((idx_s, v_s), num_keys=1, is_stable=False)
     return v.reshape(pos.shape), over
 
 
@@ -594,7 +594,7 @@ def insert_all(cbf: CountingBloomFilter, hashes: U64, valid=None,
         p = pos.astype(jnp.uint32)
         if v is not None:
             p = jnp.where(v, p, sent)
-        p_s = jnp.sort(p)
+        p_s = jax.lax.sort((p,), is_stable=False)[0]
         words, ovf = _sa.scatter_add_sorted(
             _as_u32_words(cbf), p_s, _counters_per_word(cbf),
             cbf.counter_max)

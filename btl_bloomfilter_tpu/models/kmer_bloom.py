@@ -22,19 +22,45 @@ from ..ops import nthash, nthash_tables
 from . import bloom
 
 
-def insert_seq(bf: bloom.BloomFilter, codes) -> bloom.BloomFilter:
+def _hash_kernel_eligible(bf: bloom.BloomFilter, codes) -> bool:
+    """Route through the fused ntHash scan kernel (kernels/nthash_scan):
+    hashing, Barrett mod, and the invalid-window sentinel all happen in
+    one VMEM pass, skipping every intermediate HBM plane of the XLA
+    prefix-scan path."""
+    return (jax.default_backend() != "cpu" and codes.ndim == 2
+            and 1 < bf.kmer_size <= 128 and bf.size < (1 << 32)
+            and codes.shape[-1] >= bf.kmer_size)
+
+
+def insert_seq(bf: bloom.BloomFilter, codes,
+               use_hash_kernel: bool | None = None) -> bloom.BloomFilter:
     """Insert every valid k-mer window of a sequence (or batch of equal-
     length sequences) into the filter. Equivalent to insertSeq
     (BloomFilterUtil.h:9-17): ntHashIterator drained into insert."""
     codes = jnp.asarray(codes)
+    if use_hash_kernel is None:
+        use_hash_kernel = _hash_kernel_eligible(bf, codes)
+    if use_hash_kernel:
+        from ..kernels import nthash_scan
+        pos, _strand, _valid = nthash_scan.positions_planes_kernel(
+            codes, bf.kmer_size, bf.hash_num, bf.size)
+        return bloom.insert_sentinel_positions(bf, pos)
     frames = nthash.hash_frames(codes, bf.kmer_size, bf.hash_num)
     return bloom.insert(bf, frames.hashes, frames.valid)
 
 
-def contains_seq(bf: bloom.BloomFilter, codes):
+def contains_seq(bf: bloom.BloomFilter, codes,
+                 use_hash_kernel: bool | None = None):
     """Membership of every window. Returns (contains bool[..., W],
     valid bool[..., W]); invalid windows are reported False."""
     codes = jnp.asarray(codes)
+    if use_hash_kernel is None:
+        use_hash_kernel = _hash_kernel_eligible(bf, codes)
+    if use_hash_kernel:
+        from ..kernels import nthash_scan
+        pos, _strand, valid = nthash_scan.positions_planes_kernel(
+            codes, bf.kmer_size, bf.hash_num, bf.size)
+        return bloom.contains_sentinel_positions(bf, pos), valid
     frames = nthash.hash_frames(codes, bf.kmer_size, bf.hash_num)
     hit = bloom.contains(bf, frames.hashes)
     return hit & frames.valid, frames.valid

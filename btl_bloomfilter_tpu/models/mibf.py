@@ -157,7 +157,8 @@ def rank_of_positions_kernel(mibf: MIBloomFilter, pos_flat: jax.Array):
     from ..kernels import gather_words as _gw
     n = pos_flat.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    pos_s, idx_s = jax.lax.sort((pos_flat, idx), num_keys=1)
+    pos_s, idx_s = jax.lax.sort((pos_flat, idx), num_keys=1,
+                                is_stable=False)
     w_s, c_s, over = _gw.gather_words_pair_sorted(
         mibf.bv_words, mibf.cum_ranks, pos_s)
     bit = pos_s & 31
@@ -165,7 +166,8 @@ def rank_of_positions_kernel(mibf: MIBloomFilter, pos_flat: jax.Array):
     rank_s = c_s + jax.lax.population_count(before)
     hit_s = (w_s >> bit) & 1
     packed_s = (rank_s << 1) | hit_s
-    _, packed = jax.lax.sort((idx_s, packed_s), num_keys=1)
+    _, packed = jax.lax.sort((idx_s, packed_s), num_keys=1,
+                             is_stable=False)
     return (packed >> 1).astype(jnp.int32), (packed & 1) == 1, over
 
 
@@ -214,7 +216,8 @@ def rank_data_of_positions_kernel(mibf: MIBloomFilter, pos_flat: jax.Array):
     from ..kernels.scatter_or import CHUNK, WIN_WORDS
     n = pos_flat.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    pos_s, idx_s = jax.lax.sort((pos_flat, idx), num_keys=1)
+    pos_s, idx_s = jax.lax.sort((pos_flat, idx), num_keys=1,
+                                is_stable=False)
     w_s, c_s, over = _gw.gather_words_pair_sorted(
         mibf.bv_words, mibf.cum_ranks, pos_s)
     bit = pos_s & 31
@@ -237,7 +240,8 @@ def rank_data_of_positions_kernel(mibf: MIBloomFilter, pos_flat: jax.Array):
         val_s = mibf.data[rank_c].astype(jnp.uint32)
     raw_s = jnp.where(hit_s == 1, val_s, jnp.uint32(0))
     packed_s = (rank_s << 1) | hit_s
-    _, packed, raw = jax.lax.sort((idx_s, packed_s, raw_s), num_keys=1)
+    _, packed, raw = jax.lax.sort((idx_s, packed_s, raw_s), num_keys=1,
+                                  is_stable=False)
     return ((packed >> 1).astype(jnp.int32), (packed & 1) == 1, raw, over)
 
 

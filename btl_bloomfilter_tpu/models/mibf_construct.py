@@ -72,7 +72,7 @@ def create(expected_entries: int, k: int, hash_num: int,
 def _scatter_or_bits(words: jax.Array, pos: jax.Array, valid: jax.Array):
     sent = jnp.uint32(0xFFFFFFFF)
     p = jnp.where(valid, pos.astype(jnp.uint32), sent)
-    p_s = jnp.sort(p.reshape(-1))
+    p_s = jax.lax.sort((p.reshape(-1),), is_stable=False)[0]
     keep = jnp.ones(p_s.shape, bool).at[1:].set(p_s[1:] != p_s[:-1])
     keep = keep & (p_s != sent)
     delta = bloom_mod.sorted_delta_words(p_s, keep, words.shape[0])
@@ -118,7 +118,8 @@ def insert_bv_colli(state: BitVectorState, hashes: U64, valid=None):
     flat = pf.reshape(-1)
     fidx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), h)
     sidx = jnp.arange(n * h, dtype=jnp.int32)
-    p_s, f_s, s_s = jax.lax.sort((flat, fidx, sidx), num_keys=2)
+    p_s, f_s, s_s = jax.lax.sort((flat, fidx, sidx), num_keys=2,
+                                 is_stable=False)
     idx = jnp.arange(n * h, dtype=jnp.int32)
     is_start = jnp.ones(n * h, bool).at[1:].set(p_s[1:] != p_s[:-1])
     run_start = jax.lax.associative_scan(jnp.maximum,
@@ -126,8 +127,9 @@ def insert_bv_colli(state: BitVectorState, hashes: U64, valid=None):
     first_f = f_s[run_start]              # first frame writing this position
     written_earlier = first_f < f_s
     # un-permute the 1-bit flag with the packed-key trick
-    packed = jnp.sort((s_s.astype(jnp.uint32) << 1)
-                      | written_earlier.astype(jnp.uint32))
+    packed = jax.lax.sort(((s_s.astype(jnp.uint32) << 1)
+                           | written_earlier.astype(jnp.uint32),),
+                          is_stable=False)[0]
     we = ((packed & 1) == 1).reshape(n, h)
 
     word = (flat_pos >> 5).astype(jnp.int32)
@@ -198,7 +200,7 @@ def _unique_sorted_u64(hashes: U64, valid):
                              hashes.hi.shape).reshape(-1)
         hi = jnp.where(v, hi, jnp.uint32(0xFFFFFFFF))
         lo = jnp.where(v, lo, jnp.uint32(0xFFFFFFFF))
-    hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+    hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
     first = jnp.ones(hi_s.shape, bool)
     neq = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
     keep = first.at[1:].set(neq)

@@ -193,7 +193,7 @@ def sharded_insert_frames(mesh: Mesh, sbf: ShardedBloomFilter, hashes: U64,
                                   concat_axis=0).reshape(-1)
             local_pos = jnp.where(recv != sent, recv - base, sent)
             # dedupe by sorting positions so scatter-add == scatter-OR
-            ps = jnp.sort(local_pos)
+            ps = lax.sort((local_pos,), is_stable=False)[0]
             keep = jnp.ones(ps.shape, bool).at[1:].set(ps[1:] != ps[:-1])
             keep = keep & (ps != sent)
             return words_flat | bloom.sorted_delta_words(ps, keep,

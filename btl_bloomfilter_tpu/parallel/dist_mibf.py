@@ -140,7 +140,7 @@ def insert_bv(mesh: Mesh, bv_words: jax.Array, size: int, hashes: U64,
             buf = _round_sendbuf(pay_s, own_s, slot, p, c, rnd)
             recv = lax.all_to_all(buf, AXIS, split_axis=0,
                                   concat_axis=0).reshape(-1)
-            ps = jnp.sort(recv)
+            ps = lax.sort((recv,), is_stable=False)[0]
             keep = jnp.ones(ps.shape, bool).at[1:].set(ps[1:] != ps[:-1])
             keep = keep & (ps != sent)
             from ..models import bloom as bloom_mod
