@@ -128,7 +128,7 @@ def query_rates():
     codes = jnp.asarray(rng.integers(0, 4, size=(B, L), dtype=np.uint8))
     kmers = B * (L - K + 1)
 
-    def timed(fn, *args, reps=5):
+    def timed(fn, *args, reps=10):
         r = fn(*args)
         int(jnp.sum(jax.tree_util.tree_leaves(r)[0].ravel()[:1]))
         t0 = time.perf_counter()

@@ -39,11 +39,25 @@ from .scatter_or import CHUNK, WIN_WORDS, _SENT, _WHI, _WLO
 def _kernel(bases_ref, pos_ref, words_hbm, out_ref, over_ref,
             win, sem_in):
     c = pl.program_id(0)
+    nc = pl.num_programs(0)
     base = bases_ref[c]                       # word base, multiple of 128
-    row = base // _WLO
-    read = pltpu.make_async_copy(
-        words_hbm.at[pl.ds(row, _WHI), :], win, sem_in)
-    read.start()
+    cur = c % 2
+    nxt = (c + 1) % 2
+
+    # double-buffered window DMA: the window schedule (bases) is scalar-
+    # prefetched, so chunk c+1's read is issued during chunk c's compute;
+    # the wait below normally returns immediately
+    @pl.when(c == 0)
+    def _first():
+        pltpu.make_async_copy(
+            words_hbm.at[pl.ds(base // _WLO, _WHI), :],
+            win.at[cur], sem_in.at[cur]).start()
+
+    @pl.when(c + 1 < nc)
+    def _prefetch():
+        pltpu.make_async_copy(
+            words_hbm.at[pl.ds(bases_ref[c + 1] // _WLO, _WHI), :],
+            win.at[nxt], sem_in.at[nxt]).start()
 
     pos = pos_ref[...]                        # [CHUNK] uint32, sorted
     live = pos != _SENT
@@ -64,8 +78,9 @@ def _kernel(bases_ref, pos_ref, words_hbm, out_ref, over_ref,
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_WLO, CHUNK), 0)
     bt = (lo[None, :] == iota_lo).astype(jnp.float32)         # [WLO, C]
 
-    read.wait()
-    w = win[...]
+    pltpu.make_async_copy(
+        words_hbm.at[pl.ds(0, _WHI), :], win.at[cur], sem_in.at[cur]).wait()
+    w = win[cur]
     # row-select on the MXU (contract the WHI sublanes of both operands),
     # then lane-select as an elementwise product + sublane reduce — every
     # operand stays lane-major, no relayouts
@@ -92,14 +107,26 @@ def _kernel2(bases_ref, pos_ref, wa_hbm, wb_hbm, outa_ref, outb_ref,
     cumulative popcount at the same index). The sort, window DMA schedule,
     and one-hot selector matmul operands are all shared."""
     c = pl.program_id(0)
+    nc = pl.num_programs(0)
     base = bases_ref[c]
-    row = base // _WLO
-    read_a = pltpu.make_async_copy(
-        wa_hbm.at[pl.ds(row, _WHI), :], wina, sem_a)
-    read_a.start()
-    read_b = pltpu.make_async_copy(
-        wb_hbm.at[pl.ds(row, _WHI), :], winb, sem_b)
-    read_b.start()
+    cur = c % 2
+    nxt = (c + 1) % 2
+
+    @pl.when(c == 0)
+    def _first():
+        row0 = base // _WLO
+        pltpu.make_async_copy(wa_hbm.at[pl.ds(row0, _WHI), :],
+                              wina.at[cur], sem_a.at[cur]).start()
+        pltpu.make_async_copy(wb_hbm.at[pl.ds(row0, _WHI), :],
+                              winb.at[cur], sem_b.at[cur]).start()
+
+    @pl.when(c + 1 < nc)
+    def _prefetch():
+        row1 = bases_ref[c + 1] // _WLO
+        pltpu.make_async_copy(wa_hbm.at[pl.ds(row1, _WHI), :],
+                              wina.at[nxt], sem_a.at[nxt]).start()
+        pltpu.make_async_copy(wb_hbm.at[pl.ds(row1, _WHI), :],
+                              winb.at[nxt], sem_b.at[nxt]).start()
 
     pos = pos_ref[...]
     live = pos != _SENT
@@ -132,10 +159,12 @@ def _kernel2(bases_ref, pos_ref, wa_hbm, wb_hbm, outa_ref, outb_ref,
             val = val | (v_q.astype(jnp.uint32) << (8 * q))
         return jnp.where(in_win, val, jnp.uint32(0))
 
-    read_a.wait()
-    outa_ref[...] = extract(wina[...])
-    read_b.wait()
-    outb_ref[...] = extract(winb[...])
+    pltpu.make_async_copy(
+        wa_hbm.at[pl.ds(0, _WHI), :], wina.at[cur], sem_a.at[cur]).wait()
+    outa_ref[...] = extract(wina[cur])
+    pltpu.make_async_copy(
+        wb_hbm.at[pl.ds(0, _WHI), :], winb.at[cur], sem_b.at[cur]).wait()
+    outb_ref[...] = extract(winb[cur])
 
 
 def gather_words_pair_sorted(words_a: jax.Array, words_b: jax.Array,
@@ -182,10 +211,10 @@ def gather_words_pair_sorted(words_a: jax.Array, words_b: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-chunk overflow
         ),
         scratch_shapes=[
-            pltpu.VMEM((_WHI, _WLO), jnp.uint32),
-            pltpu.VMEM((_WHI, _WLO), jnp.uint32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, _WHI, _WLO), jnp.uint32),
+            pltpu.VMEM((2, _WHI, _WLO), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     va, vb, over = pl.pallas_call(
@@ -244,8 +273,8 @@ def gather_words_sorted(words: jax.Array, pos_sorted: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-chunk overflow
         ),
         scratch_shapes=[
-            pltpu.VMEM((_WHI, _WLO), jnp.uint32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, _WHI, _WLO), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     vals, over = pl.pallas_call(

@@ -59,6 +59,12 @@ _SENT = np.uint32(0xFFFFFFFF)
 # state slots in the SMEM scratch
 _LO, _ZHI = 0, 1
 
+# in-place (RMW) variant: deeper ring so slot reads prefetch ahead of the
+# window, and a chunk lookahead into the scalar-prefetched window schedule
+S_RMW = 16                    # ring depth in slots (>= NWIN + lookahead)
+PF = 4                        # chunks of read lookahead via s0s
+_RHI = 1                      # st[1]: next slot to load (RMW variant)
+
 
 def _kernel(s0s_ref, pos_ref, zeros_hbm, delta_hbm, over_ref,
             ring, st, wpend, wsem):
@@ -239,3 +245,222 @@ def scatter_or_sorted(words: jax.Array, pos_sorted: jax.Array,
       jnp.zeros((nwords // _WLO, _WLO), jnp.uint32))
     out = (words | delta.reshape(nwords))[:nwords_orig]
     return out, jnp.sum(over)
+
+
+# ---------------------------------------------------------------------------
+# in-place (read-modify-write) variant
+# ---------------------------------------------------------------------------
+
+def _kernel_rmw(s0s_ref, pos_ref, words_in, words_hbm, over_ref,
+                ring, st, rpend, wpend, rsem, wsem):
+    """Same window walk as _kernel, but the ring holds the *actual filter
+    slots*: each slot is DMA-read from HBM when the window (or the PF-chunk
+    lookahead into the prefetched s0s schedule) reaches it, OR-accumulated
+    in VMEM, and written back exactly once when the window moves past. This
+    removes the full-size delta array and the separate `words | delta` XLA
+    pass (~3x the filter size of HBM traffic per step)."""
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    s0 = s0s_ref[c]
+    del words_in  # aliased to words_hbm (read and written in place)
+
+    @pl.when(c == 0)
+    def _init():
+        st[_LO] = s0
+        st[_RHI] = s0
+        for b in range(S_RMW):
+            rpend[b] = 0
+            wpend[b] = 0
+
+    def _wait_read(buf):
+        @pl.when(rpend[buf] == 1)
+        def _():
+            pltpu.make_async_copy(
+                words_hbm.at[pl.ds(0, SLOT_ROWS), :],
+                ring.at[pl.ds(0, SLOT_ROWS), :],
+                rsem.at[buf]).wait()
+            rpend[buf] = 0
+
+    def _flush_one(slot_id):
+        buf = slot_id % S_RMW
+        # a prefetched slot the window skipped may still have its read in
+        # flight; never write back a partially loaded buffer
+        _wait_read(buf)
+        pltpu.make_async_copy(
+            ring.at[pl.ds(buf * SLOT_ROWS, SLOT_ROWS), :],
+            words_hbm.at[pl.ds(slot_id * SLOT_ROWS, SLOT_ROWS), :],
+            wsem.at[buf]).start()
+        wpend[buf] = 1
+
+    def _load_one(slot_id):
+        buf = slot_id % S_RMW
+        # the buffer's previous occupant (slot_id - S_RMW, already flushed
+        # because slot_id < LO + S_RMW) must finish its write-back before
+        # the read overwrites the buffer
+        @pl.when(wpend[buf] == 1)
+        def _():
+            pltpu.make_async_copy(
+                ring.at[pl.ds(0, SLOT_ROWS), :],
+                words_hbm.at[pl.ds(0, SLOT_ROWS), :],
+                wsem.at[buf]).wait()
+            wpend[buf] = 0
+        pltpu.make_async_copy(
+            words_hbm.at[pl.ds(slot_id * SLOT_ROWS, SLOT_ROWS), :],
+            ring.at[pl.ds(buf * SLOT_ROWS, SLOT_ROWS), :],
+            rsem.at[buf]).start()
+        rpend[buf] = 1
+
+    # 1. flush resident slots that fell behind the new window (jumping
+    # over never-loaded gap slots)
+    nf = jnp.minimum(s0, st[_RHI])
+
+    def fbody(lo, _):
+        _flush_one(lo)
+        return lo + 1, 0
+    lo, _ = lax.while_loop(lambda a: a[0] < nf,
+                           lambda a: fbody(*a), (st[_LO], 0))
+    st[_LO] = jnp.maximum(lo, s0)
+    rhi0 = jnp.maximum(st[_RHI], s0)
+
+    # 2. issue reads up to the lookahead target (future windows are known
+    # from the prefetched schedule); ring capacity caps the lookahead
+    cf = jnp.minimum(c + PF, nc - 1)
+    tgt = jnp.maximum(s0 + NWIN, s0s_ref[cf] + NWIN)
+    tgt = jnp.minimum(tgt, st[_LO] + S_RMW)
+
+    def lbody(z, _):
+        _load_one(z)
+        return z + 1, 0
+    rhi, _ = lax.while_loop(lambda a: a[0] < tgt,
+                            lambda a: lbody(*a), (rhi0, 0))
+    st[_RHI] = rhi
+
+    # 3. the current window's slots must be resident before the OR below
+    # (their reads were normally issued PF chunks ago and are complete)
+    for i in range(NWIN):
+        _wait_read((s0 + i) % S_RMW)
+
+    # 4. one-hot histogram of this chunk (identical to _kernel)
+    pos = pos_ref[...]
+    live = pos != _SENT
+    word = (pos >> 5).astype(jnp.int32)
+    local = word - s0 * SLOT_WORDS
+    in_win = live & (local >= 0) & (local < NWIN * SLOT_WORDS)
+    over_ref[c] = jnp.sum((live & ~in_win).astype(jnp.int32))
+
+    lw = jnp.where(in_win, local, -1)
+    hi = lw // _WLO
+    lo_lane = jnp.where(in_win, local % _WLO, -1)
+    mask = jnp.uint32(1) << (pos & 31)
+    m_lo = (mask & 0xFFFF).astype(jnp.int32).astype(jnp.bfloat16)
+    m_hi = (mask >> 16).astype(jnp.int32).astype(jnp.bfloat16)
+
+    iota_hi = lax.broadcasted_iota(jnp.int32, (WROWS, CHUNK), 0)
+    at = (hi[None, :] == iota_hi).astype(jnp.bfloat16)         # [WROWS, C]
+    iota_lo = lax.broadcasted_iota(jnp.int32, (_WLO, CHUNK), 0)
+    bt = (lo_lane[None, :] == iota_lo).astype(jnp.bfloat16)    # [WLO, C]
+
+    dims = (((1,), (1,)), ((), ()))
+    p_lo = lax.dot_general(at, bt * m_lo[None, :], dims,
+                           preferred_element_type=jnp.float32)
+    p_hi = lax.dot_general(at, bt * m_hi[None, :], dims,
+                           preferred_element_type=jnp.float32)
+    delta = (p_lo.astype(jnp.int32).astype(jnp.uint32)
+             | (p_hi.astype(jnp.int32).astype(jnp.uint32) << 16))
+
+    # 5. OR the delta into the resident slots
+    for i in range(NWIN):
+        buf = ((s0 + i) % S_RMW) * SLOT_ROWS
+        blk = ring[pl.ds(buf, SLOT_ROWS), :]
+        ring[pl.ds(buf, SLOT_ROWS), :] = (
+            blk | delta[i * SLOT_ROWS:(i + 1) * SLOT_ROWS, :])
+
+    # 6. final step: flush everything resident, then drain every write
+    @pl.when(c == nc - 1)
+    def _tail():
+        def tbody(t, _):
+            _flush_one(t)
+            return t + 1, 0
+        tlo, _ = lax.while_loop(lambda a: a[0] < st[_RHI],
+                                lambda a: tbody(*a), (st[_LO], 0))
+        st[_LO] = tlo
+        for b in range(S_RMW):
+            @pl.when(wpend[b] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    ring.at[pl.ds(0, SLOT_ROWS), :],
+                    words_hbm.at[pl.ds(0, SLOT_ROWS), :],
+                    wsem.at[b]).wait()
+                wpend[b] = 0
+
+
+def scatter_or_sorted_inplace(words: jax.Array, pos_sorted: jax.Array,
+                              pos_for_base: jax.Array | None = None,
+                              interpret: bool = False):
+    """OR deduped, SORTED bit positions directly into `words` (the input
+    buffer is aliased to the output — callers should treat it as consumed).
+
+    Same contract and return as :func:`scatter_or_sorted`, but the filter
+    words are read-modify-written in place through the VMEM ring instead of
+    accumulating a separate delta array, saving ~3 filter-sizes of HBM
+    traffic per step. Returns (new_words, overflow_count); caller must
+    re-apply the batch via the XLA path when overflow > 0 (OR is
+    idempotent, so re-applying over the partial in-place result is exact).
+    """
+    n = pos_sorted.shape[0]
+    nchunks = pl.cdiv(n, CHUNK)
+    npad = nchunks * CHUNK - n
+    if pos_for_base is None:
+        pos_for_base = pos_sorted
+    if npad:
+        pos_sorted = jnp.concatenate(
+            [pos_sorted, jnp.full(npad, _SENT, jnp.uint32)])
+        pos_for_base = jnp.concatenate(
+            [pos_for_base, jnp.full(npad, _SENT, jnp.uint32)])
+    nwords_orig = words.shape[0]
+    wpad = max(-nwords_orig % SLOT_WORDS, NWIN * SLOT_WORDS - nwords_orig)
+    if wpad > 0:
+        wpad += -(nwords_orig + wpad) % SLOT_WORDS
+        words = jnp.concatenate([words, jnp.zeros(wpad, jnp.uint32)])
+    nwords = words.shape[0]
+    nslots = nwords // SLOT_WORDS
+
+    first = pos_for_base[:: CHUNK]
+    s0 = jnp.where(first == _SENT, 0,
+                   (first >> 5) // SLOT_WORDS).astype(jnp.int32)
+    s0 = jax.lax.associative_scan(jnp.maximum, s0)
+    s0 = jnp.clip(s0, 0, nslots - NWIN)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(int(nchunks),),
+        in_specs=[
+            pl.BlockSpec((CHUNK,), lambda c, s0s: (c,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # words (HBM, aliased)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),      # words out (HBM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-chunk overflow
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((S_RMW * SLOT_ROWS, _WLO), jnp.uint32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((S_RMW,), jnp.int32),
+            pltpu.SMEM((S_RMW,), jnp.int32),
+            pltpu.SemaphoreType.DMA((S_RMW,)),
+            pltpu.SemaphoreType.DMA((S_RMW,)),
+        ],
+    )
+    out, over = pl.pallas_call(
+        _kernel_rmw,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nwords // _WLO, _WLO), jnp.uint32),
+            jax.ShapeDtypeStruct((int(nchunks),), jnp.int32),
+        ),
+        input_output_aliases={2: 0},   # words arg -> words output
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(s0, pos_sorted, words.reshape(nwords // _WLO, _WLO))
+    return out.reshape(nwords)[:nwords_orig], jnp.sum(over)

@@ -214,8 +214,11 @@ def insert_sentinel_positions(bf: BloomFilter, pos: jax.Array,
     if use_kernel:
         from ..kernels import scatter_ring as _sr
         pos_d = jnp.where(keep, pos_s, sent)
-        out, over = _sr.scatter_or_sorted(bf.words, pos_d,
-                                          pos_for_base=pos_s)
+        # in-place RMW ring: filter slots stream through VMEM once (no
+        # delta array, no separate OR pass); OR is idempotent so the
+        # overflow fallback re-applies over the partial in-place result
+        out, over = _sr.scatter_or_sorted_inplace(bf.words, pos_d,
+                                                  pos_for_base=pos_s)
         # rare window-overflow fallback: re-apply the (idempotent)
         # whole batch through the XLA scatter
         out = jax.lax.cond(

@@ -41,12 +41,23 @@ def dedup_sorted(pos, pad_to=None):
     return out
 
 
-def run_and_check(words, pos, pos_for_base=None, expect_overflow=None):
-    """Run the kernel in interpret mode; assert equality with the XLA
+KERNELS = [scatter_ring.scatter_or_sorted,
+           scatter_ring.scatter_or_sorted_inplace]
+
+
+def run_and_check(words, pos, pos_for_base=None, expect_overflow=None,
+                  kernel=None):
+    """Run the kernel(s) in interpret mode; assert equality with the XLA
     scatter (directly when no overflow, after the idempotent re-apply
     when overflow fired, mirroring bloom.insert's fallback)."""
+    if kernel is None:
+        over = None
+        for k in KERNELS:
+            over = run_and_check(words, pos, pos_for_base, expect_overflow,
+                                 kernel=k)
+        return over
     expect = np.asarray(xla_reference(words, jnp.asarray(pos)))
-    got, overflow = scatter_ring.scatter_or_sorted(
+    got, overflow = kernel(
         words, jnp.asarray(pos),
         pos_for_base=None if pos_for_base is None else jnp.asarray(
             pos_for_base),
@@ -98,11 +109,12 @@ def test_ring_interleaved_sentinels_with_base_array():
     expect = np.asarray(
         words | bloom.sorted_delta_words(jnp.asarray(pos_s),
                                          jnp.asarray(keep), nwords))
-    got, overflow = scatter_ring.scatter_or_sorted(
-        words, jnp.asarray(pos_d), pos_for_base=jnp.asarray(pos_s),
-        interpret=True)
-    assert int(overflow) == 0
-    np.testing.assert_array_equal(np.asarray(got), expect)
+    for kernel in KERNELS:
+        got, overflow = kernel(
+            words, jnp.asarray(pos_d), pos_for_base=jnp.asarray(pos_s),
+            interpret=True)
+        assert int(overflow) == 0
+        np.testing.assert_array_equal(np.asarray(got), expect)
 
 
 def test_ring_gap_larger_than_ring():
@@ -160,11 +172,12 @@ def test_ring_advance_by_more_than_s_slots_within_stream():
     words = jnp.asarray(rng.integers(0, 1 << 32, size=nwords,
                                      dtype=np.uint32))
     expect = np.asarray(xla_reference(words, jnp.asarray(pos_d)))
-    got, overflow = scatter_ring.scatter_or_sorted(
-        words, jnp.asarray(pos_d), pos_for_base=jnp.asarray(pos_base),
-        interpret=True)
-    assert int(overflow) == 0
-    np.testing.assert_array_equal(np.asarray(got), expect)
+    for kernel in KERNELS:
+        got, overflow = kernel(
+            words, jnp.asarray(pos_d), pos_for_base=jnp.asarray(pos_base),
+            interpret=True)
+        assert int(overflow) == 0
+        np.testing.assert_array_equal(np.asarray(got), expect)
 
 
 def test_ring_trailing_all_sentinel_chunks():
@@ -230,13 +243,14 @@ def test_bloom_insert_ring_path_and_overflow_fallback():
     bf = bloom.create(size, 4, 31)
 
     def patched_insert(bf, hashes, valid):
-        orig = scatter_ring.scatter_or_sorted
+        # bloom.insert's kernel path calls scatter_or_sorted_inplace
+        orig = scatter_ring.scatter_or_sorted_inplace
         try:
-            scatter_ring.scatter_or_sorted = functools.partial(
+            scatter_ring.scatter_or_sorted_inplace = functools.partial(
                 orig, interpret=True)
             return bloom.insert(bf, hashes, valid, use_kernel=True)
         finally:
-            scatter_ring.scatter_or_sorted = orig
+            scatter_ring.scatter_or_sorted_inplace = orig
 
     # uniform batch: 2048 positions over 8 windows -> chunk span ~4 windows
     # of bits each... large spread WILL overflow; make a tight batch first
