@@ -115,7 +115,9 @@ def tpu_rate():
 
 
 def query_rates():
-    """Secondary metrics (stderr): classic query + blocked insert/query."""
+    """Secondary metrics: classic query, counting insert/query (main JSON
+    line) + blocked insert/query (stderr extras)."""
+    import dataclasses
     import functools
 
     import jax
@@ -139,6 +141,37 @@ def query_rates():
 
     out = {}
     bf = bloom.create(SIZE, H, K)
+
+    # counting filter: conservative update (the reference's default insert
+    # semantics, CountingBloomFilter.hpp:135-162) + min-count query, at the
+    # same geometry (2**30 uint8 counters)
+    from btl_bloomfilter_tpu.models import counting
+
+    cbf = counting.create(SIZE, H, K, count_threshold=1, counter_width=1)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def counting_insert(counters, codes):
+        f = nthash.hash_frames(codes, K, H)
+        st = dataclasses.replace(cbf, counters=counters)
+        return counting.insert(st, f.hashes, f.valid).counters
+
+    @jax.jit
+    def counting_query(counters, codes):
+        f = nthash.hash_frames(codes, K, H)
+        st = dataclasses.replace(cbf, counters=counters)
+        return counting.contains(st, f.hashes) & f.valid
+
+    # donated arg: rebind instead of reusing (timed() reuses its args)
+    counters = counting_insert(cbf.counters, codes)
+    int(jnp.sum(counters.ravel()[:1].astype(jnp.int32)))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        counters = counting_insert(counters, codes)
+    int(jnp.sum(counters.ravel()[:1].astype(jnp.int32)))
+    out["counting_insert_kmers_per_s"] = kmers * 10 / (time.perf_counter()
+                                                       - t0)
+    out["counting_query_kmers_per_s"] = timed(counting_query, counters,
+                                              codes)
 
     @jax.jit
     def classic_query(words, codes):
@@ -212,6 +245,10 @@ def main():
         "unit": "kmers/s",
         "vs_baseline": round(vs, 3),
         "query_kmers_per_s": round(extras["classic_query_kmers_per_s"], 1),
+        "counting_insert_kmers_per_s":
+            round(extras["counting_insert_kmers_per_s"], 1),
+        "counting_query_kmers_per_s":
+            round(extras["counting_query_kmers_per_s"], 1),
         "roofline_frac": round(roofline_frac(rate), 4),
         "cpp_baseline_pinned_kmers_per_s": PINNED_CPP_KMERS_PER_S,
         "cpp_baseline_kmers_per_s": round(base, 1) if base else None,

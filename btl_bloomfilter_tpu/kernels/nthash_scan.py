@@ -88,11 +88,16 @@ def _lane_scan(x, lane, op):
     return x
 
 
-def _kernel(codes_ref, *refs, k, h, W, muls, mod_size):
+def _kernel(codes_ref, mods_ref, *refs, k, h, W, muls, mod_size):
     """mod_size None: refs = (hi, lo, strand, valid, prev, carry) — emit
     hash limb planes. mod_size set: refs = (pos, strand, valid, prev,
     carry) — emit positions (hash % mod_size, Barrett in-kernel) with the
-    0xFFFFFFFF sentinel on invalid windows, ready for the insert sort."""
+    0xFFFFFFFF sentinel on invalid windows, ready for the insert sort.
+
+    mods_ref carries the row-invariant per-block rotation-amount tables
+    (t mod 33/31 and friends are functions of the lane position only —
+    precomputed host-side instead of 8 integer mods over [B, 128] tiles
+    per step; rows broadcast along sublanes for free)."""
     if mod_size is None:
         hi_ref, lo_ref, strand_ref, valid_ref, prev_ref, carry_ref = refs
     else:
@@ -100,6 +105,7 @@ def _kernel(codes_ref, *refs, k, h, W, muls, mod_size):
     c = pl.program_id(1)
     B = codes_ref.shape[0]
     lane = lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
+    mrow = mods_ref[0]                                  # [16, 128] uint32
 
     @pl.when(c == 0)
     def _init():
@@ -108,11 +114,10 @@ def _kernel(codes_ref, *refs, k, h, W, muls, mod_size):
 
     # ---- 1/2: seeds -> g -> global exclusive prefix for this block ------
     codes = codes_ref[...].astype(jnp.int32)            # [B, 128]
-    t = c * LANES + lane
-    neg33 = jnp.mod(-t, 33).astype(jnp.uint32)
-    neg31 = jnp.mod(-t, 31).astype(jnp.uint32)
-    pos33 = jnp.mod(t, 33).astype(jnp.uint32)
-    pos31 = jnp.mod(t, 31).astype(jnp.uint32)
+    neg33 = mrow[0:1, :]
+    neg31 = mrow[1:2, :]
+    pos33 = mrow[2:3, :]
+    pos31 = mrow[3:4, :]
 
     gf = _srol_pow(U64(_seed_select(codes, _SEED_HI),
                        _seed_select(codes, _SEED_LO)), neg33, neg31)
@@ -133,7 +138,6 @@ def _kernel(codes_ref, *refs, k, h, W, muls, mod_size):
     # ---- 3-5: emit the windows of block c-1 -----------------------------
     @pl.when(c >= 1)
     def _emit():
-        p = (c - 1) * LANES + lane                       # global positions
         ext = [jnp.concatenate([prev_ref[i], cur_excl[i]], axis=1)
                for i in range(5)]                        # [B, 256]
         fh_pre = U64(ext[0][:, k:k + LANES] ^ ext[0][:, :LANES],
@@ -142,10 +146,8 @@ def _kernel(codes_ref, *refs, k, h, W, muls, mod_size):
                      ext[3][:, k:k + LANES] ^ ext[3][:, :LANES])
         n_in_win = ext[4][:, k:k + LANES] - ext[4][:, :LANES]
 
-        fh = _srol_pow(fh_pre, jnp.mod(p + k - 1, 33).astype(jnp.uint32),
-                       jnp.mod(p + k - 1, 31).astype(jnp.uint32))
-        rh = _srol_pow(rh_pre, jnp.mod(-p, 33).astype(jnp.uint32),
-                       jnp.mod(-p, 31).astype(jnp.uint32))
+        fh = _srol_pow(fh_pre, mrow[4:5, :], mrow[5:6, :])
+        rh = _srol_pow(rh_pre, mrow[6:7, :], mrow[7:8, :])
         strand = u64.lt(rh, fh)                          # rh < fh canonical
         canon = u64.select(strand, rh, fh)
 
@@ -153,7 +155,8 @@ def _kernel(codes_ref, *refs, k, h, W, muls, mod_size):
         for i in range(h - 1):
             tv = u64.mul_const(canon, muls[i])
             hs.append(u64.xor(tv, u64.shr(tv, T.MULTI_SHIFT)))
-        valid = (n_in_win == 0) & (p < W)
+        valid = (n_in_win == 0) & jnp.broadcast_to(mrow[8:9, :] != 0,
+                                                   n_in_win.shape)
         if mod_size is None:
             hi_ref[...] = jnp.stack([v.hi for v in hs])  # [h, B, 128]
             lo_ref[...] = jnp.stack([v.lo for v in hs])
@@ -194,6 +197,27 @@ def positions_planes_kernel(codes: jax.Array, k: int, h: int, size: int,
         raise ValueError("positions mode requires size < 2**32")
     pos, strand, valid, B0, W = _run(codes, k, h, size, interpret)
     return pos[:, :B0, :W], strand[:B0, :W] != 0, valid[:B0, :W] != 0
+
+
+@functools.lru_cache(maxsize=64)
+def _mod_tables(nblocks: int, k: int, W: int):
+    """Per-block [16, 128] rotation-amount/validity rows (row-invariant
+    across the batch): 0-3 scan-phase srol amounts for t = c*128+lane,
+    4-7 emit-phase amounts for p = (c-1)*128+lane, 8 the p < W gate."""
+    t = np.arange((nblocks + 1) * LANES,
+                  dtype=np.int64).reshape(nblocks + 1, LANES)
+    p = t - LANES
+    tab = np.zeros((nblocks + 1, 16, LANES), np.uint32)
+    tab[:, 0] = (-t) % 33
+    tab[:, 1] = (-t) % 31
+    tab[:, 2] = t % 33
+    tab[:, 3] = t % 31
+    tab[:, 4] = (p + k - 1) % 33
+    tab[:, 5] = (p + k - 1) % 31
+    tab[:, 6] = (-p) % 33
+    tab[:, 7] = (-p) % 31
+    tab[:, 8] = ((p >= 0) & (p < W)).astype(np.uint32)
+    return tab
 
 
 def _run(codes: jax.Array, k: int, h: int, mod_size, interpret: bool):
@@ -240,6 +264,8 @@ def _run(codes: jax.Array, k: int, h: int, mod_size, interpret: bool):
         in_specs=[
             pl.BlockSpec((bt, LANES), lambda b, c: (b, c),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, LANES), lambda b, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(plane_spec,) * nplanes + (flag_spec, flag_spec),
         scratch_shapes=[
@@ -255,5 +281,5 @@ def _run(codes: jax.Array, k: int, h: int, mod_size, interpret: bool):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(codes)
+    )(codes, jnp.asarray(_mod_tables(int(nblocks), k, W)))
     return outs + (B0, W)

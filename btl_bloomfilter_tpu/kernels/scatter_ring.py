@@ -252,23 +252,32 @@ def scatter_or_sorted(words: jax.Array, pos_sorted: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _kernel_rmw(s0s_ref, pos_ref, words_in, words_hbm, over_ref,
-                ring, st, rpend, wpend, rsem, wsem):
+                ring, st, rpend, wpend, rsem, wsem,
+                *, slot_rows, nwin, s, pf):
     """Same window walk as _kernel, but the ring holds the *actual filter
-    slots*: each slot is DMA-read from HBM when the window (or the PF-chunk
+    slots*: each slot is DMA-read from HBM when the window (or the pf-chunk
     lookahead into the prefetched s0s schedule) reaches it, OR-accumulated
     in VMEM, and written back exactly once when the window moves past. This
     removes the full-size delta array and the separate `words | delta` XLA
-    pass (~3x the filter size of HBM traffic per step)."""
+    pass (~3x the filter size of HBM traffic per step).
+
+    Geometry is parametric (chunk size via pos_ref block, slot_rows, nwin
+    window slots, ring depth s, lookahead pf) — the MXU histogram cost is
+    proportional to nwin*slot_rows, so smaller chunks with proportionally
+    smaller windows do linearly less matmul work per position."""
     c = pl.program_id(0)
     nc = pl.num_programs(0)
     s0 = s0s_ref[c]
+    chunk = pos_ref.shape[-1]
+    slot_words = slot_rows * _WLO
+    wrows = nwin * slot_rows
     del words_in  # aliased to words_hbm (read and written in place)
 
     @pl.when(c == 0)
     def _init():
         st[_LO] = s0
         st[_RHI] = s0
-        for b in range(S_RMW):
+        for b in range(s):
             rpend[b] = 0
             wpend[b] = 0
 
@@ -276,37 +285,37 @@ def _kernel_rmw(s0s_ref, pos_ref, words_in, words_hbm, over_ref,
         @pl.when(rpend[buf] == 1)
         def _():
             pltpu.make_async_copy(
-                words_hbm.at[pl.ds(0, SLOT_ROWS), :],
-                ring.at[pl.ds(0, SLOT_ROWS), :],
+                words_hbm.at[pl.ds(0, slot_rows), :],
+                ring.at[pl.ds(0, slot_rows), :],
                 rsem.at[buf]).wait()
             rpend[buf] = 0
 
     def _flush_one(slot_id):
-        buf = slot_id % S_RMW
+        buf = slot_id % s
         # a prefetched slot the window skipped may still have its read in
         # flight; never write back a partially loaded buffer
         _wait_read(buf)
         pltpu.make_async_copy(
-            ring.at[pl.ds(buf * SLOT_ROWS, SLOT_ROWS), :],
-            words_hbm.at[pl.ds(slot_id * SLOT_ROWS, SLOT_ROWS), :],
+            ring.at[pl.ds(buf * slot_rows, slot_rows), :],
+            words_hbm.at[pl.ds(slot_id * slot_rows, slot_rows), :],
             wsem.at[buf]).start()
         wpend[buf] = 1
 
     def _load_one(slot_id):
-        buf = slot_id % S_RMW
-        # the buffer's previous occupant (slot_id - S_RMW, already flushed
-        # because slot_id < LO + S_RMW) must finish its write-back before
-        # the read overwrites the buffer
+        buf = slot_id % s
+        # the buffer's previous occupant (slot_id - s, already flushed
+        # because slot_id < LO + s) must finish its write-back before the
+        # read overwrites the buffer
         @pl.when(wpend[buf] == 1)
         def _():
             pltpu.make_async_copy(
-                ring.at[pl.ds(0, SLOT_ROWS), :],
-                words_hbm.at[pl.ds(0, SLOT_ROWS), :],
+                ring.at[pl.ds(0, slot_rows), :],
+                words_hbm.at[pl.ds(0, slot_rows), :],
                 wsem.at[buf]).wait()
             wpend[buf] = 0
         pltpu.make_async_copy(
-            words_hbm.at[pl.ds(slot_id * SLOT_ROWS, SLOT_ROWS), :],
-            ring.at[pl.ds(buf * SLOT_ROWS, SLOT_ROWS), :],
+            words_hbm.at[pl.ds(slot_id * slot_rows, slot_rows), :],
+            ring.at[pl.ds(buf * slot_rows, slot_rows), :],
             rsem.at[buf]).start()
         rpend[buf] = 1
 
@@ -324,9 +333,9 @@ def _kernel_rmw(s0s_ref, pos_ref, words_in, words_hbm, over_ref,
 
     # 2. issue reads up to the lookahead target (future windows are known
     # from the prefetched schedule); ring capacity caps the lookahead
-    cf = jnp.minimum(c + PF, nc - 1)
-    tgt = jnp.maximum(s0 + NWIN, s0s_ref[cf] + NWIN)
-    tgt = jnp.minimum(tgt, st[_LO] + S_RMW)
+    cf = jnp.minimum(c + pf, nc - 1)
+    tgt = jnp.maximum(s0 + nwin, s0s_ref[cf] + nwin)
+    tgt = jnp.minimum(tgt, st[_LO] + s)
 
     def lbody(z, _):
         _load_one(z)
@@ -336,16 +345,16 @@ def _kernel_rmw(s0s_ref, pos_ref, words_in, words_hbm, over_ref,
     st[_RHI] = rhi
 
     # 3. the current window's slots must be resident before the OR below
-    # (their reads were normally issued PF chunks ago and are complete)
-    for i in range(NWIN):
-        _wait_read((s0 + i) % S_RMW)
+    # (their reads were normally issued pf chunks ago and are complete)
+    for i in range(nwin):
+        _wait_read((s0 + i) % s)
 
     # 4. one-hot histogram of this chunk (identical to _kernel)
     pos = pos_ref[...]
     live = pos != _SENT
     word = (pos >> 5).astype(jnp.int32)
-    local = word - s0 * SLOT_WORDS
-    in_win = live & (local >= 0) & (local < NWIN * SLOT_WORDS)
+    local = word - s0 * slot_words
+    in_win = live & (local >= 0) & (local < nwin * slot_words)
     over_ref[c] = jnp.sum((live & ~in_win).astype(jnp.int32))
 
     lw = jnp.where(in_win, local, -1)
@@ -355,9 +364,9 @@ def _kernel_rmw(s0s_ref, pos_ref, words_in, words_hbm, over_ref,
     m_lo = (mask & 0xFFFF).astype(jnp.int32).astype(jnp.bfloat16)
     m_hi = (mask >> 16).astype(jnp.int32).astype(jnp.bfloat16)
 
-    iota_hi = lax.broadcasted_iota(jnp.int32, (WROWS, CHUNK), 0)
-    at = (hi[None, :] == iota_hi).astype(jnp.bfloat16)         # [WROWS, C]
-    iota_lo = lax.broadcasted_iota(jnp.int32, (_WLO, CHUNK), 0)
+    iota_hi = lax.broadcasted_iota(jnp.int32, (wrows, chunk), 0)
+    at = (hi[None, :] == iota_hi).astype(jnp.bfloat16)         # [wrows, C]
+    iota_lo = lax.broadcasted_iota(jnp.int32, (_WLO, chunk), 0)
     bt = (lo_lane[None, :] == iota_lo).astype(jnp.bfloat16)    # [WLO, C]
 
     dims = (((1,), (1,)), ((), ()))
@@ -369,11 +378,11 @@ def _kernel_rmw(s0s_ref, pos_ref, words_in, words_hbm, over_ref,
              | (p_hi.astype(jnp.int32).astype(jnp.uint32) << 16))
 
     # 5. OR the delta into the resident slots
-    for i in range(NWIN):
-        buf = ((s0 + i) % S_RMW) * SLOT_ROWS
-        blk = ring[pl.ds(buf, SLOT_ROWS), :]
-        ring[pl.ds(buf, SLOT_ROWS), :] = (
-            blk | delta[i * SLOT_ROWS:(i + 1) * SLOT_ROWS, :])
+    for i in range(nwin):
+        buf = ((s0 + i) % s) * slot_rows
+        blk = ring[pl.ds(buf, slot_rows), :]
+        ring[pl.ds(buf, slot_rows), :] = (
+            blk | delta[i * slot_rows:(i + 1) * slot_rows, :])
 
     # 6. final step: flush everything resident, then drain every write
     @pl.when(c == nc - 1)
@@ -384,19 +393,24 @@ def _kernel_rmw(s0s_ref, pos_ref, words_in, words_hbm, over_ref,
         tlo, _ = lax.while_loop(lambda a: a[0] < st[_RHI],
                                 lambda a: tbody(*a), (st[_LO], 0))
         st[_LO] = tlo
-        for b in range(S_RMW):
+        for b in range(s):
             @pl.when(wpend[b] == 1)
             def _():
                 pltpu.make_async_copy(
-                    ring.at[pl.ds(0, SLOT_ROWS), :],
-                    words_hbm.at[pl.ds(0, SLOT_ROWS), :],
+                    ring.at[pl.ds(0, slot_rows), :],
+                    words_hbm.at[pl.ds(0, slot_rows), :],
                     wsem.at[b]).wait()
                 wpend[b] = 0
 
 
 def scatter_or_sorted_inplace(words: jax.Array, pos_sorted: jax.Array,
                               pos_for_base: jax.Array | None = None,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              chunk: int = CHUNK,
+                              slot_rows: int = SLOT_ROWS,
+                              nwin: int = NWIN,
+                              s: int = S_RMW,
+                              pf: int = PF):
     """OR deduped, SORTED bit positions directly into `words` (the input
     buffer is aliased to the output — callers should treat it as consumed).
 
@@ -406,10 +420,16 @@ def scatter_or_sorted_inplace(words: jax.Array, pos_sorted: jax.Array,
     traffic per step. Returns (new_words, overflow_count); caller must
     re-apply the batch via the XLA path when overflow > 0 (OR is
     idempotent, so re-applying over the partial in-place result is exact).
+
+    Geometry knobs (chunk/slot_rows/nwin/s/pf) trade window coverage
+    against per-position matmul work; defaults match the module constants.
     """
+    import functools as _ft
+
+    slot_words = slot_rows * _WLO
     n = pos_sorted.shape[0]
-    nchunks = pl.cdiv(n, CHUNK)
-    npad = nchunks * CHUNK - n
+    nchunks = pl.cdiv(n, chunk)
+    npad = nchunks * chunk - n
     if pos_for_base is None:
         pos_for_base = pos_sorted
     if npad:
@@ -418,24 +438,29 @@ def scatter_or_sorted_inplace(words: jax.Array, pos_sorted: jax.Array,
         pos_for_base = jnp.concatenate(
             [pos_for_base, jnp.full(npad, _SENT, jnp.uint32)])
     nwords_orig = words.shape[0]
-    wpad = max(-nwords_orig % SLOT_WORDS, NWIN * SLOT_WORDS - nwords_orig)
+    wpad = max(-nwords_orig % slot_words, nwin * slot_words - nwords_orig)
     if wpad > 0:
-        wpad += -(nwords_orig + wpad) % SLOT_WORDS
+        wpad += -(nwords_orig + wpad) % slot_words
         words = jnp.concatenate([words, jnp.zeros(wpad, jnp.uint32)])
     nwords = words.shape[0]
-    nslots = nwords // SLOT_WORDS
+    nslots = nwords // slot_words
 
-    first = pos_for_base[:: CHUNK]
+    first = pos_for_base[:: chunk]
     s0 = jnp.where(first == _SENT, 0,
-                   (first >> 5) // SLOT_WORDS).astype(jnp.int32)
+                   (first >> 5) // slot_words).astype(jnp.int32)
     s0 = jax.lax.associative_scan(jnp.maximum, s0)
-    s0 = jnp.clip(s0, 0, nslots - NWIN)
+    s0 = jnp.clip(s0, 0, nslots - nwin)
 
+    if chunk % 1024:
+        # XLA tiles 1-D u32 operands at 1024; smaller blocks fail Mosaic
+        # layout verification (and (1, chunk) 2-D blocks fail the 8-sublane
+        # minimum), so the chunk size must stay a multiple of 1024
+        raise ValueError("chunk must be a multiple of 1024")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(int(nchunks),),
         in_specs=[
-            pl.BlockSpec((CHUNK,), lambda c, s0s: (c,),
+            pl.BlockSpec((chunk,), lambda c, s0s: (c,),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),      # words (HBM, aliased)
         ],
@@ -444,16 +469,17 @@ def scatter_or_sorted_inplace(words: jax.Array, pos_sorted: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-chunk overflow
         ),
         scratch_shapes=[
-            pltpu.VMEM((S_RMW * SLOT_ROWS, _WLO), jnp.uint32),
+            pltpu.VMEM((s * slot_rows, _WLO), jnp.uint32),
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.SMEM((S_RMW,), jnp.int32),
-            pltpu.SMEM((S_RMW,), jnp.int32),
-            pltpu.SemaphoreType.DMA((S_RMW,)),
-            pltpu.SemaphoreType.DMA((S_RMW,)),
+            pltpu.SMEM((s,), jnp.int32),
+            pltpu.SMEM((s,), jnp.int32),
+            pltpu.SemaphoreType.DMA((s,)),
+            pltpu.SemaphoreType.DMA((s,)),
         ],
     )
     out, over = pl.pallas_call(
-        _kernel_rmw,
+        _ft.partial(_kernel_rmw, slot_rows=slot_rows, nwin=nwin, s=s,
+                    pf=pf),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((nwords // _WLO, _WLO), jnp.uint32),

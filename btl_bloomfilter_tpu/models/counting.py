@@ -315,7 +315,7 @@ def insert(cbf: CountingBloomFilter, hashes: U64, valid=None,
 
 
 def _conservative_decompose(pos: jax.Array, v: jax.Array,
-                            max_entangled: int | None):
+                            max_entangled: int | None, size: int):
     """Shared decomposition of the batched conservative update: group
     frames by identical position multiset, split untangled groups (no
     position shared with another group) from entangled ones, and compact
@@ -370,7 +370,14 @@ def _conservative_decompose(pos: jax.Array, v: jax.Array,
     rep = new_grp & live_s & ~entangled_s
 
     # --- compact entangled frames, ordered by original stream position ---
-    cap = max_entangled if max_entangled is not None else max(256, n // 8)
+    if max_entangled is not None:
+        cap = max_entangled
+    else:
+        # expected entangled frames ~ 2 * collision pairs
+        #   = (n*h)**2 / size; 2x margin + slack (Poisson concentration
+        # makes overrun vanishingly unlikely at these counts)
+        expected = (n * h) ** 2 // max(size, 1)
+        cap = max(256, 2 * expected + 1024)
     cap = min(cap, n)
     n_ent = jnp.sum(entangled_s.astype(jnp.int32))
     ent_key = jnp.where(entangled_s, frame_of, jnp.int32(n))
@@ -379,6 +386,49 @@ def _conservative_decompose(pos: jax.Array, v: jax.Array,
     ent_ok = ent_sorted < n
     return dict(pos=pos, sent=sent, ks=ks, run_len=run_len, rep=rep,
                 cap=cap, n_ent=n_ent, ent_pos=ent_pos, ent_ok=ent_ok)
+
+
+def _replay_schedule(ent_pos: jax.Array, n_ent, sent, max_rounds=32):
+    """Round assignment for the entangled replay.
+
+    depth[i] (1-based) such that any two entangled frames sharing a
+    counter position get strictly increasing depths in stream order
+    (frames are compacted in stream order, so index order = stream
+    order). Frames of equal depth are pairwise position-disjoint, so one
+    depth applies as ONE batched conservative step — sequential stepping
+    is only needed when a dependency chain exceeds ``max_rounds``
+    (returns ok=False; caller falls back to the per-frame loop).
+
+    Computed by iterating the per-position predecessor constraint
+    depth[i] >= depth[previous user of p] + 1 to fixpoint (chain length
+    iterations; typical collision-driven streams converge in 2-3)."""
+    cap, h = ent_pos.shape
+    live = jnp.arange(cap, dtype=jnp.int32) < n_ent
+    pp = jnp.where(live[:, None], ent_pos, sent).reshape(-1)
+    fi = jnp.repeat(jnp.arange(cap, dtype=jnp.int32), h)
+    pi = jnp.arange(cap * h, dtype=jnp.int32)
+    pp_s, fi_s, pi_s = jax.lax.sort((pp, fi, pi), num_keys=2)
+    prev_frame = jnp.concatenate([jnp.zeros(1, jnp.int32), fi_s[:-1]])
+    # no self-edges: a frame's own duplicate positions impose no order
+    prev_ok = jnp.zeros(cap * h, bool).at[1:].set(
+        (pp_s[1:] == pp_s[:-1]) & (pp_s[1:] != sent)
+        & (fi_s[1:] != fi_s[:-1]))
+
+    def body(st):
+        depth, _, it = st
+        dprev = jnp.where(prev_ok, depth[prev_frame], 0)
+        # un-permute position-major constraints to frame-major slots
+        # (pi_s is a permutation -> unique_indices)
+        need = jnp.zeros(cap * h, jnp.int32).at[pi_s].set(
+            dprev + 1, unique_indices=True)
+        need_f = jnp.max(need.reshape(cap, h), axis=1)
+        new = jnp.where(live, jnp.maximum(depth, need_f), 0)
+        return new, jnp.any(new != depth), it + 1
+
+    depth, changed, _ = jax.lax.while_loop(
+        lambda st: st[1] & (st[2] < max_rounds), body,
+        (live.astype(jnp.int32), jnp.bool_(True), jnp.int32(0)))
+    return depth, jnp.max(depth), ~changed
 
 
 def insert_positions(counters: jax.Array, pos: jax.Array, v: jax.Array,
@@ -391,7 +441,7 @@ def insert_positions(counters: jax.Array, pos: jax.Array, v: jax.Array,
     order. Shared by the single-device path and the sharded distributed
     path (parallel/dist_counting.py), which runs it on a compacted table
     of the touched counters only."""
-    d = _conservative_decompose(pos, v, max_entangled)
+    d = _conservative_decompose(pos, v, max_entangled, size)
 
     # --- 3. closed form for untangled groups (their representatives) -----
     counters0 = counters
@@ -414,8 +464,47 @@ def insert_positions(counters: jax.Array, pos: jax.Array, v: jax.Array,
         return cs.at[p32].set(jnp.where(do, upd, curf)), None
 
     def replay(cs):
-        out, _ = jax.lax.scan(step, cs, (d["ent_pos"], d["ent_ok"]))
-        return out
+        depth, max_depth, sched_ok = _replay_schedule(
+            d["ent_pos"], d["n_ent"], d["sent"])
+        p32 = d["ent_pos"].astype(jnp.int32)
+
+        def rounds(cs):
+            # one batched conservative step per depth round (frames of a
+            # round are pairwise position-disjoint by construction)
+            def rbody(st):
+                r, cs = st
+                on = depth == r
+                safe = jnp.where(on[:, None], p32, 0)
+                cur = cs[safe]                           # [cap, h]
+                mn = jnp.min(cur, axis=1)
+                new = (mn + jnp.asarray(1, dtype)).astype(dtype)
+                frozen = new < mn
+                do = on & ~frozen
+                upd = jnp.where(do[:, None] & (cur == mn[:, None]),
+                                jnp.broadcast_to(new[:, None], cur.shape),
+                                cur)
+                dest = jnp.where(do[:, None], safe, jnp.int32(size))
+                return r + 1, cs.at[dest].set(upd, mode="drop")
+
+            return jax.lax.while_loop(lambda st: st[0] <= max_depth,
+                                      rbody, (jnp.int32(1), cs))[1]
+
+        def seq(cs):
+            # dependency chain longer than the scheduler bound: exact
+            # per-frame replay with a dynamic trip count
+            stop = jnp.minimum(d["n_ent"], jnp.int32(d["cap"]))
+
+            def body(st):
+                i, cs = st
+                pf = jax.lax.dynamic_index_in_dim(d["ent_pos"], i, axis=0,
+                                                  keepdims=False)
+                cs2, _ = step(cs, (pf, jnp.bool_(True)))
+                return i + 1, cs2
+
+            return jax.lax.while_loop(lambda st: st[0] < stop, body,
+                                      (jnp.int32(0), cs))[1]
+
+        return jax.lax.cond(sched_ok, rounds, seq, cs)
 
     counters = jax.lax.cond(d["n_ent"] > 0, replay, lambda cs: cs, counters)
 
@@ -437,7 +526,7 @@ def insert_positions_u64(lo: jax.Array, hi: jax.Array, pos: jax.Array,
     """uint64 twin of :func:`insert_positions` on the dual uint32 planes:
     the same group-collapse + entangled-replay decomposition with exact
     64-bit min/increment/freeze arithmetic. Returns (lo, hi)."""
-    d = _conservative_decompose(pos, v, max_entangled)
+    d = _conservative_decompose(pos, v, max_entangled, size)
     n, h = pos.shape
     lo0, hi0 = lo, hi
 
@@ -484,8 +573,54 @@ def insert_positions_u64(lo: jax.Array, hi: jax.Array, pos: jax.Array,
         return (lo_pl.at[p32].set(nlo), hi_pl.at[p32].set(nhi)), None
 
     def replay(planes):
-        out, _ = jax.lax.scan(step, planes, (d["ent_pos"], d["ent_ok"]))
-        return out
+        depth, max_depth, sched_ok = _replay_schedule(
+            d["ent_pos"], d["n_ent"], d["sent"])
+        p32 = d["ent_pos"].astype(jnp.int32)
+
+        def rounds(planes):
+            def rbody(st):
+                r, lo_pl, hi_pl = st
+                on = depth == r
+                safe = jnp.where(on[:, None], p32, 0)
+                flo = lo_pl[safe]                        # [cap, h]
+                fhi = hi_pl[safe]
+                m = U64(fhi[:, 0], flo[:, 0])
+                for j in range(1, h):
+                    m = u64.min_(m, U64(fhi[:, j], flo[:, j]))
+                new = u64.add(m, U64(jnp.zeros_like(m.hi),
+                                     jnp.ones_like(m.lo)))
+                frozen = u64.lt(new, m)
+                do = on & ~frozen
+                iseq = (flo == m.lo[:, None]) & (fhi == m.hi[:, None])
+                sel = do[:, None] & iseq
+                nlo = jnp.where(sel,
+                                jnp.broadcast_to(new.lo[:, None],
+                                                 flo.shape), flo)
+                nhi = jnp.where(sel,
+                                jnp.broadcast_to(new.hi[:, None],
+                                                 fhi.shape), fhi)
+                dest = jnp.where(do[:, None], safe, jnp.int32(size))
+                return (r + 1, lo_pl.at[dest].set(nlo, mode="drop"),
+                        hi_pl.at[dest].set(nhi, mode="drop"))
+
+            out = jax.lax.while_loop(lambda st: st[0] <= max_depth, rbody,
+                                     (jnp.int32(1),) + planes)
+            return out[1], out[2]
+
+        def seq(planes):
+            stop = jnp.minimum(d["n_ent"], jnp.int32(d["cap"]))
+
+            def body(st):
+                i, pl = st
+                pf = jax.lax.dynamic_index_in_dim(d["ent_pos"], i, axis=0,
+                                                  keepdims=False)
+                pl2, _ = step(pl, (pf, jnp.bool_(True)))
+                return i + 1, pl2
+
+            return jax.lax.while_loop(lambda st: st[0] < stop, body,
+                                      (jnp.int32(0), planes))[1]
+
+        return jax.lax.cond(sched_ok, rounds, seq, planes)
 
     lo, hi = jax.lax.cond(d["n_ent"] > 0, replay, lambda pl: pl, (lo, hi))
 

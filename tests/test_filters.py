@@ -376,3 +376,62 @@ def test_cbf64_min_count_contains_and_roundtrip(tmp_path):
     np.testing.assert_array_equal(_cbf64_model(back), base)
     raw = np.frombuffer(p.read_bytes()[-8 * cbf.size:], dtype="<u8")
     np.testing.assert_array_equal(raw, base)
+
+
+# ---------------------------------------------------------------------------
+# round-scheduled entangled replay (counting._replay_schedule)
+# ---------------------------------------------------------------------------
+
+def _np_conservative(pos, v, size, dtype=np.uint8):
+    """Stream-order numpy oracle of incrementMin
+    (CountingBloomFilter.hpp:135-162)."""
+    ref = np.zeros(size, dtype)
+    top = np.iinfo(dtype).max
+    for p, ok in zip(pos, v):
+        if not ok:
+            continue
+        cur = ref[p]
+        m = cur.min()
+        if m == top:          # overflow freeze
+            continue
+        upd = cur.copy()
+        upd[cur == m] = m + 1
+        ref[p] = upd
+        # duplicate indices in p write the same value twice (the
+        # reference's second CAS fails after the first increments),
+        # so last-write-wins matches the single-increment semantics
+    return ref
+
+
+@pytest.mark.parametrize("chain_len", [5, 20, 40])
+def test_replay_round_scheduler_chains(chain_len):
+    """Dependency chains through shared positions: the round scheduler
+    must respect stream order along each chain; chains longer than the
+    scheduler's iteration bound (32) must fall back to the sequential
+    replay. Also covers an in-frame duplicate position entangled with the
+    chain head (no self-edge deadlock)."""
+    size = 512
+    pos = np.array([[i, i + 1, 200 + (i % 100)] for i in range(chain_len)],
+                   np.uint32)
+    pos = np.vstack([pos, np.array([[0, 0, 400]], np.uint32)])
+    v = np.ones(len(pos), bool)
+    v[2] = False                      # one masked frame inside the chain
+    ref = _np_conservative(pos, v, size)
+    got = counting.insert_positions(
+        jnp.zeros(size, jnp.uint8), jnp.asarray(pos), jnp.asarray(v),
+        255, size)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_replay_round_scheduler_chains_u64():
+    """u64 twin of the chain test (dual uint32 planes)."""
+    size = 256
+    pos = np.array([[i, i + 1, 100 + i] for i in range(12)], np.uint32)
+    v = np.ones(len(pos), bool)
+    ref = _np_conservative(pos, v, size, np.uint64)
+    lo, hi = counting.insert_positions_u64(
+        jnp.zeros(size, jnp.uint32), jnp.zeros(size, jnp.uint32),
+        jnp.asarray(pos), jnp.asarray(v), size)
+    got = np.asarray(lo).astype(np.uint64) | (
+        np.asarray(hi).astype(np.uint64) << np.uint64(32))
+    np.testing.assert_array_equal(got, ref)

@@ -99,8 +99,9 @@ def test_kernel_overflow_detected():
 def test_insert_kernel_path_matches_xla_path():
     """bloom.insert(use_kernel=True, interpret via CPU) == use_kernel=False.
 
-    bloom.insert routes through kernels/scatter_ring (the default TPU
-    insert kernel); patch THAT module, not the superseded scatter_or."""
+    bloom.insert routes through scatter_ring.scatter_or_sorted_inplace
+    (the default TPU insert kernel); patch THAT entry point, not the
+    superseded scatter_or / delta-ring variants."""
     import functools
     from btl_bloomfilter_tpu.kernels import scatter_ring
     rng = np.random.default_rng(3)
@@ -115,11 +116,11 @@ def test_insert_kernel_path_matches_xla_path():
     valid = jnp.asarray(rng.random((64, 8)) < 0.9)
 
     ref = bloom.insert(bf, hashes, valid, use_kernel=False)
-    orig = scatter_ring.scatter_or_sorted
+    orig = scatter_ring.scatter_or_sorted_inplace
     try:
-        scatter_ring.scatter_or_sorted = functools.partial(
+        scatter_ring.scatter_or_sorted_inplace = functools.partial(
             orig, interpret=True)
         got = bloom.insert(bf, hashes, valid, use_kernel=True)
     finally:
-        scatter_ring.scatter_or_sorted = orig
+        scatter_ring.scatter_or_sorted_inplace = orig
     np.testing.assert_array_equal(np.asarray(ref.words), np.asarray(got.words))
