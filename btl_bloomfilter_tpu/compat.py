@@ -191,7 +191,10 @@ class CountingBloomFilter:
         if self._cbf.is_u64:
             return (int(np.asarray(self._cbf.counters[1, i])) << 32) | \
                 int(np.asarray(self._cbf.counters[0, i]))
-        return int(np.asarray(self._cbf.counters[i]))
+        per = self._cbf.counters_per_word
+        bits = 32 // per
+        w = int(np.asarray(self._cbf.counters[i // per]))
+        return (w >> (bits * (i % per))) & ((1 << bits) - 1)
 
     def popCount(self) -> int:
         return int(counting_mod.pop_count(self._cbf))

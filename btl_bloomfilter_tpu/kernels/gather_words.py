@@ -27,6 +27,8 @@ windows are ~4x the expected chunk span of a uniform hash stream).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,7 +38,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .scatter_or import CHUNK, WIN_WORDS, _SENT, _WHI, _WLO
 
 
-def _kernel(bases_ref, pos_ref, words_hbm, out_ref, over_ref,
+def _make_kernel(shift: int):
+    """Gather kernel factory. ``shift`` maps a position to its word index
+    (5 for bit positions; the packed-counter sub-index log2 for counter
+    indices — word addressing keeps counter indices < 2**32 usable even
+    when their BIT positions would overflow 32 bits, e.g. 2**30 uint8
+    counters)."""
+    return functools.partial(_kernel, shift)
+
+
+def _kernel(shift, bases_ref, pos_ref, words_hbm, out_ref, over_ref,
             win, sem_in):
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -61,7 +72,7 @@ def _kernel(bases_ref, pos_ref, words_hbm, out_ref, over_ref,
 
     pos = pos_ref[...]                        # [CHUNK] uint32, sorted
     live = pos != _SENT
-    word = (pos >> 5).astype(jnp.int32)
+    word = (pos >> shift).astype(jnp.int32)
     local = word - base                       # window-relative word index
     in_win = live & (local >= 0) & (local < WIN_WORDS)
     over_ref[c] = jnp.sum((live & ~in_win).astype(jnp.int32))
@@ -233,8 +244,14 @@ def gather_words_pair_sorted(words_a: jax.Array, words_b: jax.Array,
 
 
 def gather_words_sorted(words: jax.Array, pos_sorted: jax.Array,
-                        interpret: bool = False):
-    """Gather `words[pos >> 5]` for SORTED uint32 bit positions.
+                        interpret: bool = False, shift: int = 5):
+    """Gather `words[pos >> shift]` for SORTED uint32 positions.
+
+    The default ``shift=5`` treats positions as BIT positions into the
+    uint32 word array (the Bloom query). Packed-counter callers pass the
+    counter index directly with ``shift = log2(counters per word)`` so
+    filters whose bit positions exceed 32 bits still address words
+    exactly (models/counting.py).
 
     Returns (vals uint32[n], overflow_count). `words` of any length is
     accepted (padded to the lane multiple / minimum window size).
@@ -255,7 +272,7 @@ def gather_words_sorted(words: jax.Array, pos_sorted: jax.Array,
     nwords = words.shape[0]
 
     first = pos_sorted[:: CHUNK]
-    base = jnp.where(first == _SENT, 0, (first >> 5)).astype(jnp.int32)
+    base = jnp.where(first == _SENT, 0, (first >> shift)).astype(jnp.int32)
     base = jnp.minimum(base & ~jnp.int32(_WLO - 1), nwords - WIN_WORDS)
     base = jnp.maximum(base, 0)
 
@@ -278,7 +295,7 @@ def gather_words_sorted(words: jax.Array, pos_sorted: jax.Array,
         ],
     )
     vals, over = pl.pallas_call(
-        _kernel,
+        _make_kernel(shift),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((int(nchunks) * CHUNK,), jnp.uint32),

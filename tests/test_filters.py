@@ -202,7 +202,7 @@ def test_cbf_conservative_update_semantics():
             continue
         model[pos] = np.where(model[pos] == mn, mn + 1, model[pos])
     cbf = counting.insert(cbf, u64.from_numpy(hashes))
-    np.testing.assert_array_equal(np.asarray(cbf.counters), model)
+    np.testing.assert_array_equal(counting.to_numpy(cbf), model)
 
 
 def test_cbf_overflow_freeze():
@@ -211,7 +211,7 @@ def test_cbf_overflow_freeze():
     cbf = counting.create(size, h, 4, 1, counter_width=1)
     hashes = np.zeros((300, h), dtype=np.uint64)  # all map to pos 0
     cbf = counting.insert(cbf, u64.from_numpy(hashes))
-    assert int(np.asarray(cbf.counters)[0]) == 255  # frozen at max
+    assert int(counting.to_numpy(cbf)[0]) == 255  # frozen at max
 
 
 def test_cbf_increment_all():
@@ -223,7 +223,7 @@ def test_cbf_increment_all():
     model = np.zeros(cbf.size, dtype=np.int64)
     for hv in hashes.reshape(-1):
         model[int(hv) % cbf.size] += 1
-    np.testing.assert_array_equal(np.asarray(cbf.counters),
+    np.testing.assert_array_equal(counting.to_numpy(cbf),
                                   np.minimum(model, 255).astype(np.uint8))
 
 
@@ -276,6 +276,50 @@ def test_conservative_update_batched_matches_sequential(
     cbf0 = counting.create(size_bytes, h, 5, 1, counter_width=width)
     a = counting.insert_sequential(cbf0, hs, valid)
     b = counting.insert(cbf0, hs, valid)
+    np.testing.assert_array_equal(np.asarray(a.counters),
+                                  np.asarray(b.counters))
+
+
+@pytest.mark.parametrize("n,h,size_bytes,repeat,width,seed", [
+    (500, 3, 4096, 1, 1, 1),    # u8: packed-unsort branch
+    (400, 3, 256, 1, 1, 2),     # dense -> heavy entanglement
+    (300, 4, 2048, 8, 1, 3),    # high-multiplicity groups
+    (64, 2, 64, 30, 1, 4),      # tiny filter: entanglement + u8 freeze
+    (300, 3, 4096, 2, 2, 5),    # u16: payload-unsort branch
+    (250, 3, 8192, 2, 4, 6),    # u32: payload-unsort, 3-byte deltas
+])
+def test_conservative_update_kernel_path_matches_sequential(
+        n, h, size_bytes, repeat, width, seed):
+    """The kernel-routed closed form (windowed gather + weighted
+    scatter-add, interpret mode) must stay bit-identical to stream
+    order."""
+    hs = _rand_hashes(n, h, seed)
+    if repeat > 1:
+        ridx = np.tile(np.arange(n), repeat)
+        np.random.default_rng(seed + 100).shuffle(ridx)
+        hs = u64.U64(hs.hi[ridx], hs.lo[ridx])
+    valid = jnp.asarray(
+        np.random.default_rng(seed + 7).random(hs.hi.shape[0]) < 0.9)
+    cbf0 = counting.create(size_bytes, h, 5, 1, counter_width=width)
+    a = counting.insert_sequential(cbf0, hs, valid)
+    b = counting.insert(cbf0, hs, valid, use_kernel=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.counters),
+                                  np.asarray(b.counters))
+
+
+def test_conservative_update_kernel_gather_overflow_fallback():
+    """Positions spanning many windows per chunk overflow the gather
+    window; the kernel path must then recompute via the XLA closed form
+    (still exact)."""
+    from btl_bloomfilter_tpu.kernels import scatter_or as so
+
+    # 8 windows of u8 counters, 600 frames spread uniformly -> every
+    # chunk spans far beyond one window
+    size = so.WIN_WORDS * 8 * 4
+    hs = _rand_hashes(600, 3, 21)
+    cbf0 = counting.create(size, 3, 5, 1, counter_width=1)
+    a = counting.insert_sequential(cbf0, hs)
+    b = counting.insert(cbf0, hs, use_kernel=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(a.counters),
                                   np.asarray(b.counters))
 
@@ -418,9 +462,11 @@ def test_replay_round_scheduler_chains(chain_len):
     v[2] = False                      # one masked frame inside the chain
     ref = _np_conservative(pos, v, size)
     got = counting.insert_positions(
-        jnp.zeros(size, jnp.uint8), jnp.asarray(pos), jnp.asarray(v),
-        255, size)
-    np.testing.assert_array_equal(np.asarray(got), ref)
+        jnp.zeros(size // 4, jnp.uint32), jnp.asarray(pos),
+        jnp.asarray(v), 255, size, 4)
+    got_counters = np.frombuffer(
+        np.asarray(got).astype("<u4").tobytes(), dtype="<u1")
+    np.testing.assert_array_equal(got_counters, ref)
 
 
 def test_replay_round_scheduler_chains_u64():

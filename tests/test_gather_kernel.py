@@ -140,11 +140,12 @@ def test_counting_min_count_kernel_matches_xla_path(width):
     size_bytes = scatter_or.WIN_WORDS * 4 * per * width  # one window of words
     cbf = counting.create(size_bytes, 5, 8, 1, counter_width=width)
     maxv = min(cbf.counter_max, 200)
-    cbf = counting.CountingBloomFilter(
-        counters=jnp.asarray(rng.integers(
-            0, maxv, size=cbf.size).astype(np.asarray(cbf.counters).dtype)),
-        size=cbf.size, hash_num=cbf.hash_num, kmer_size=cbf.kmer_size,
-        count_threshold=cbf.count_threshold, counter_width=width)
+    np_dt = {1: "<u1", 2: "<u2", 4: "<u4"}[width]
+    vals = rng.integers(0, maxv, size=cbf.size).astype(np_dt)
+    cbf = counting.from_bytes(
+        vals.tobytes(), size=cbf.size, hash_num=cbf.hash_num,
+        kmer_size=cbf.kmer_size, count_threshold=cbf.count_threshold,
+        counter_width=width)
     hashes = U64(
         jnp.asarray(rng.integers(0, 1 << 32, size=(37, 5),
                                  dtype=np.uint32)),

@@ -76,6 +76,74 @@ def test_kernel_overflow_emitted():
     np.testing.assert_array_equal(out, full)
 
 
+def np_weighted_reference(counters, idx, vals, counter_max):
+    out = counters.astype(np.uint64)
+    np.add.at(out, idx, vals.astype(np.uint64))
+    return np.minimum(out, counter_max).astype(counters.dtype)
+
+
+@pytest.mark.parametrize("width,n,ncounters,seed", [
+    (1, 5000, scatter_or.WIN_WORDS * 4, 0),       # u8, one window span
+    (2, 4000, scatter_or.WIN_WORDS * 2, 1),       # u16, one window span
+    (4, 3000, scatter_or.WIN_WORDS, 2),           # u32, one window span
+    (1, 2000, scatter_or.WIN_WORDS * 4 + 64, 3),  # unaligned count
+])
+def test_weighted_kernel_matches_numpy(width, n, ncounters, seed):
+    rng = np.random.default_rng(seed)
+    dtype = {1: np.uint8, 2: np.uint16, 4: np.uint32}[width]
+    counter_max = (1 << (8 * width)) - 1
+    counters = rng.integers(0, min(counter_max, 250),
+                            size=ncounters).astype(dtype)
+    idx = rng.integers(0, ncounters, size=n, dtype=np.uint32)
+    idx[:300] = idx[0]                        # duplicates sum
+    vmax = min(counter_max, (1 << 24) - 1)
+    vals = rng.integers(0, min(vmax, 300), size=n, dtype=np.uint32)
+    vals[1000:1200] = 0                       # zero increments are no-ops
+    counters[idx[0]] = counter_max - 5        # will saturate
+    expect = np_weighted_reference(counters, idx, vals, counter_max)
+
+    per_word = 4 // width
+    if per_word > 1:
+        words = jax.lax.bitcast_convert_type(
+            jnp.asarray(counters).reshape(-1, per_word), jnp.uint32)
+    else:
+        words = jnp.asarray(counters)
+    order = np.argsort(idx)
+    got_w, ovf = scatter_add.scatter_add_weighted_sorted(
+        words, jnp.asarray(idx[order]), jnp.asarray(vals[order]),
+        per_word, counter_max, interpret=True)
+    assert (np.asarray(ovf) == 0xFFFFFFFF).all()  # single window: no ovf
+    if per_word > 1:
+        got = np.asarray(jax.lax.bitcast_convert_type(
+            got_w, jnp.asarray(counters).dtype)).reshape(-1)
+    else:
+        got = np.asarray(got_w)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_weighted_kernel_overflow_emitted():
+    ncounters = scatter_or.WIN_WORDS * 8
+    idx = np.concatenate([
+        np.arange(100, dtype=np.uint32),
+        np.full(50, ncounters - 3, np.uint32),
+    ])
+    vals = np.arange(1, len(idx) + 1, dtype=np.uint32)
+    order = np.argsort(idx, kind="stable")
+    counters = jnp.zeros(ncounters, jnp.uint32)
+    got, ovf = scatter_add.scatter_add_weighted_sorted(
+        counters, jnp.asarray(idx[order]), jnp.asarray(vals[order]), 1,
+        0xFFFFFFFF, interpret=True)
+    ovf = np.asarray(ovf)
+    live = ovf != 0xFFFFFFFF
+    assert live.sum() > 0
+    # re-applying the overflow (position, value) pairs -> full histogram
+    full = np.zeros(ncounters, np.uint64)
+    np.add.at(full, idx, vals.astype(np.uint64))
+    out = np.asarray(got).astype(np.uint64)
+    np.add.at(out, ovf[live], vals[order][live].astype(np.uint64))
+    np.testing.assert_array_equal(out, full)
+
+
 @pytest.mark.parametrize("width", [1, 2, 4, 8])
 def test_insert_all_kernel_path_matches_xla(width):
     rng = np.random.default_rng(7)
