@@ -64,11 +64,10 @@ def breakdown(args):
                 nloc = hi.size
                 flat = U64(hi.reshape(-1), lo.reshape(-1))
                 r = u64.mod_const(flat, size)
-                pos = r.lo
                 vv = jnp.broadcast_to(v[..., None], hi.shape).reshape(-1)
                 c = dist_bloom._default_cap(nloc, p)
-                pos_s, owner_s, slot, _, counts = dist_bloom._route_sorted(
-                    pos, vv, shard_bits, p)
+                pos_s, owner_s, slot, _, counts = \
+                    dist_bloom._route_local_sorted(r, vv, shard_bits, p)
                 if stage == 1:
                     # fold counts in so the bincount isn't dead-code-eliminated
                     return ((pos_s ^ owner_s).at[: p].add(
@@ -81,11 +80,9 @@ def breakdown(args):
                                       concat_axis=0).reshape(-1)
                 if stage == 3:
                     return recv[None, :256]
-                my_rank = lax.axis_index(AXIS)
-                base = my_rank.astype(jnp.uint32) * jnp.uint32(shard_bits)
                 sent = jnp.uint32(0xFFFFFFFF)
-                local_pos = jnp.where(recv != sent, recv - base, sent)
-                ps = lax.sort((local_pos,), is_stable=False)[0]
+                # received entries are LOCAL bit offsets within my shard
+                ps = lax.sort((recv,), is_stable=False)[0]
                 keep = jnp.ones(ps.shape, bool).at[1:].set(
                     ps[1:] != ps[:-1])
                 keep = keep & (ps != sent)
@@ -105,11 +102,10 @@ def breakdown(args):
                 nloc = hi.size
                 flat = U64(hi.reshape(-1), lo.reshape(-1))
                 r = u64.mod_const(flat, size)
-                pos = r.lo
                 vv = jnp.broadcast_to(v[..., None], hi.shape).reshape(-1)
                 c = dist_bloom._default_cap(nloc, p)
-                pos_s, owner_s, slot, _, counts = dist_bloom._route_sorted(
-                    pos, vv, shard_bits, p)
+                pos_s, owner_s, slot, _, counts = \
+                    dist_bloom._route_local_sorted(r, vv, shard_bits, p)
                 buf = dist_bloom._round_sendbuf(pos_s, owner_s, slot, p, c,
                                                 0).reshape(-1)
                 sent = jnp.uint32(0xFFFFFFFF)

@@ -102,6 +102,9 @@ def create_sharded(mesh: Mesh, size: int, hash_num: int, kmer_size: int
     p = mesh.devices.size
     if size % (p * 32) != 0:
         raise ValueError(f"size must be a multiple of 32*num_shards ({p*32})")
+    if size // p >= (1 << 32):
+        raise ValueError("per-shard size must stay below 2**32 bits so "
+                         "local offsets fit one uint32 limb; add shards")
     words = jnp.zeros((p, size // p // 32), jnp.uint32)
     words = jax.device_put(words, NamedSharding(mesh, P(AXIS)))
     return ShardedBloomFilter(words=words, size=size, hash_num=hash_num,
@@ -137,16 +140,18 @@ def route_prepare(payload: jax.Array, owner: jax.Array, p: int):
     return payload_s, owner_s, slot, order, counts
 
 
-def _route_sorted(positions: jax.Array, valid: jax.Array, shard_bits: int,
-                  p: int):
-    """Owner-sort *global bit positions* (uint32, so size <= 2**32 bits)
-    for round-based routing; see route_prepare. Invalid positions get
-    owner p (dropped)."""
-    sentinel = jnp.uint32(0xFFFFFFFF)
-    pos = jnp.where(valid, positions.astype(jnp.uint32), sentinel)
-    owner = jnp.minimum(pos // jnp.uint32(shard_bits), jnp.uint32(p - 1))
+def _route_local_sorted(r: U64, valid: jax.Array, shard_bits: int, p: int):
+    """Owner-sort global positions (U64 limb pair) for round-based
+    routing, decomposed as (owner, LOCAL offset): local offsets fit one
+    uint32 limb whenever ``shard_bits < 2**32``, so sharded filters scale
+    to p * (2**32 - 32) bits — the reference's size_t addressing
+    (BloomFilter.hpp:190-192) with the 32-bit-per-limb layout. Routing
+    local offsets also removes the per-receiver base subtraction. Invalid
+    positions get owner p (dropped); see route_prepare."""
+    owner64, local64 = u64.divmod_const(r, shard_bits)
+    owner = jnp.minimum(owner64.lo, jnp.uint32(p - 1))
     owner = jnp.where(valid, owner, jnp.uint32(p))  # invalid sorts last
-    return route_prepare(pos, owner, p)
+    return route_prepare(local64.lo, owner, p)
 
 
 def _round_sendbuf(pos_s, owner_s, slot, p: int, cap: int, rnd):
@@ -178,20 +183,17 @@ def sharded_insert_frames(mesh: Mesh, sbf: ShardedBloomFilter, hashes: U64,
         n = hi.size
         flat = U64(hi.reshape(-1), lo.reshape(-1))
         r = u64.mod_const(flat, sbf.size)
-        pos = r.lo  # size < 2**32 per current routing (checked below)
         vv = jnp.broadcast_to(v[..., None], hi.shape).reshape(-1)
         c = _default_cap(n, p) if cap is None else min(cap, n)
-        pos_s, owner_s, slot, _, counts = _route_sorted(pos, vv, shard_bits,
-                                                        p)
-        my_rank = lax.axis_index(AXIS)
-        base = (my_rank.astype(jnp.uint32)) * jnp.uint32(shard_bits)
+        pos_s, owner_s, slot, _, counts = _route_local_sorted(
+            r, vv, shard_bits, p)
         sent = jnp.uint32(0xFFFFFFFF)
 
         def apply_round(words_flat, rnd):
             buf = _round_sendbuf(pos_s, owner_s, slot, p, c, rnd)
-            recv = lax.all_to_all(buf, AXIS, split_axis=0,
-                                  concat_axis=0).reshape(-1)
-            local_pos = jnp.where(recv != sent, recv - base, sent)
+            # received entries are LOCAL bit offsets within my shard
+            local_pos = lax.all_to_all(buf, AXIS, split_axis=0,
+                                       concat_axis=0).reshape(-1)
             # dedupe by sorting positions so scatter-add == scatter-OR
             ps = lax.sort((local_pos,), is_stable=False)[0]
             keep = jnp.ones(ps.shape, bool).at[1:].set(ps[1:] != ps[:-1])
@@ -210,9 +212,9 @@ def sharded_insert_frames(mesh: Mesh, sbf: ShardedBloomFilter, hashes: U64,
         rerouted = jnp.sum(jnp.maximum(counts - c, 0))
         return w[None], rerouted[None]
 
-    if sbf.size > (1 << 32):
-        raise NotImplementedError("sharded routing currently requires "
-                                  "size <= 2**32 bits")
+    if sbf.shard_bits >= (1 << 32):
+        raise NotImplementedError("sharded routing requires per-shard "
+                                  "size < 2**32 bits (add shards)")
     if valid is None:
         valid = jnp.ones(hashes.hi.shape[:-1], bool)
     fn = jax.jit(shard_map(local, mesh=mesh,
@@ -232,25 +234,26 @@ def sharded_contains_frames(mesh: Mesh, sbf: ShardedBloomFilter, hashes: U64,
     Bloom contract — no false negatives — holds (BloomFilter.hpp:237-262)."""
     p = sbf.num_shards
     shard_bits = sbf.shard_bits
+    if shard_bits >= (1 << 32):
+        raise NotImplementedError("sharded routing requires per-shard "
+                                  "size < 2**32 bits (add shards)")
 
     def local(words, hi, lo):
         shape = hi.shape
         n = hi.size
         flat = U64(hi.reshape(-1), lo.reshape(-1))
         r = u64.mod_const(flat, sbf.size)
-        pos = r.lo
         vv = jnp.ones((n,), bool)
         c = _default_cap(n, p) if cap is None else min(cap, n)
-        pos_s, owner_s, slot, order, counts = _route_sorted(pos, vv,
-                                                            shard_bits, p)
-        my_rank = lax.axis_index(AXIS)
-        base = my_rank.astype(jnp.uint32) * jnp.uint32(shard_bits)
+        pos_s, owner_s, slot, order, counts = _route_local_sorted(
+            r, vv, shard_bits, p)
         sent = jnp.uint32(0xFFFFFFFF)
 
         def apply_round(acc, rnd):
             buf = _round_sendbuf(pos_s, owner_s, slot, p, c, rnd)
+            # received entries are LOCAL bit offsets within my shard
             recv = lax.all_to_all(buf, AXIS, split_axis=0, concat_axis=0)
-            local_pos = (recv - base).reshape(-1)
+            local_pos = recv.reshape(-1)
             ok = (recv != sent).reshape(-1)
             word = jnp.where(ok, (local_pos >> 5).astype(jnp.int32), 0)
             got = words[0][word]

@@ -56,13 +56,13 @@ def dp_insert_all_seq(mesh: Mesh, cbf: counting_mod.CountingBloomFilter,
         f = nthash.hash_frames(codes_shard, k, h)
         pos = u64.mod_to_index(
             U64(f.hashes.hi.reshape(-1), f.hashes.lo.reshape(-1)), size
-        ).astype(jnp.int32)
+        ).astype(jnp.uint32)
         v = jnp.broadcast_to(f.valid[..., None],
                              f.hashes.hi.shape).reshape(-1)
-        occ = jnp.zeros((size,), jnp.uint32).at[pos].add(
-            v.astype(jnp.uint32), mode="drop")
-        total = lax.psum(occ, AXIS)
         if cbf.is_u64:
+            occ = jnp.zeros((size,), jnp.uint32).at[pos].add(
+                v.astype(jnp.uint32), mode="drop")
+            total = lax.psum(occ, AXIS)
             # dual-plane exact u64 add (models.counting.insert_all)
             lo0, hi0 = counters[0], counters[1]
             lo = lo0 + total
@@ -72,9 +72,13 @@ def dp_insert_all_seq(mesh: Mesh, cbf: counting_mod.CountingBloomFilter,
             lo = jnp.where(ov, jnp.uint32(0xFFFFFFFF), lo)
             hi = jnp.where(ov, jnp.uint32(0xFFFFFFFF), hi)
             return jnp.stack([lo, hi])
-        wide = counters.astype(jnp.uint32) + total
-        return jnp.minimum(wide, jnp.uint32(cbf.counter_max)).astype(
-            counters.dtype)
+        # lane-major occurrence counts fold into the packed words
+        per = cbf.counters_per_word
+        occ_lm = counting_mod._occ_lane_major(pos, v.astype(jnp.uint32),
+                                              per, cbf.nwords)
+        total = lax.psum(occ_lm, AXIS)
+        return counting_mod._fold_occ(counters, total, cbf.counter_max,
+                                      per)
 
     fn = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(), P(AXIS)),
                            out_specs=P(), check_vma=False))
@@ -145,10 +149,14 @@ def create_sharded(mesh: Mesh, size_in_bytes: int, hash_num: int,
             "dual-plane layout)")
     size_in_bytes += -size_in_bytes % (8 * p)
     size = size_in_bytes // counter_width
-    if size > (1 << 32):
-        raise NotImplementedError("sharded counting routing requires "
-                                  "size <= 2**32 counters")
-    dt = counting_mod._DTYPES[counter_width]
+    if size // p >= (1 << 32):
+        raise ValueError("per-shard size must stay below 2**32 counters "
+                         "so local offsets fit one uint32 limb; add "
+                         "shards")
+    # shards stay per-counter-dtype planes (the routing works on counter
+    # indices; the single-device filter packs words instead — see
+    # models/counting.py storage note)
+    dt = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32}[counter_width]
     counters = jax.device_put(jnp.zeros((p, size // p), dt),
                               NamedSharding(mesh, P(AXIS)))
     return ShardedCountingBloomFilter(
@@ -160,6 +168,21 @@ def create_sharded(mesh: Mesh, size_in_bytes: int, hash_num: int,
 def _flat_positions(hashes: U64, size: int):
     flat = U64(hashes.hi.reshape(-1), hashes.lo.reshape(-1))
     return u64.mod_to_index(flat, size).astype(jnp.uint32)
+
+
+def _route_local(hashes: U64, size: int, shard_size: int, p: int,
+                 valid=None):
+    """Global counter index mod ``size`` decomposed as (owner, LOCAL
+    offset) limbs — filters scale to p * (2**32 - 1) counters (the
+    reference's size_t addressing, CountingBloomFilter.hpp:117-132) as
+    long as each shard stays below 2**32. Invalid entries get owner p."""
+    flat = U64(hashes.hi.reshape(-1), hashes.lo.reshape(-1))
+    r = u64.mod_const(flat, size)
+    owner64, local64 = u64.divmod_const(r, shard_size)
+    owner = jnp.minimum(owner64.lo, jnp.uint32(p - 1))
+    if valid is not None:
+        owner = jnp.where(valid, owner, jnp.uint32(p))
+    return local64.lo, owner
 
 
 def sharded_insert_all(mesh: Mesh, scbf: ShardedCountingBloomFilter,
@@ -177,21 +200,20 @@ def sharded_insert_all(mesh: Mesh, scbf: ShardedCountingBloomFilter,
 
     def local(counters, hi, lo, v):
         n = hi.size
-        pos = _flat_positions(U64(hi, lo), scbf.size)
         vv = jnp.broadcast_to(v[..., None], hi.shape).reshape(-1)
-        owner = jnp.where(vv, pos // jnp.uint32(shard_size), jnp.uint32(p))
+        lpos_all, owner = _route_local(U64(hi, lo), scbf.size, shard_size,
+                                       p, vv)
         c = _default_cap(n, p) if cap is None else min(cap, n)
-        pay_s, own_s, slot, _, counts = route_prepare(pos, owner, p)
-        my = lax.axis_index(AXIS).astype(jnp.uint32)
-        base = my * jnp.uint32(shard_size)
+        pay_s, own_s, slot, _, counts = route_prepare(lpos_all, owner, p)
         sent = jnp.uint32(0xFFFFFFFF)
 
         def apply_round(cs, rnd):
             buf = _round_sendbuf(pay_s, own_s, slot, p, c, rnd)
+            # received entries are LOCAL counter offsets within my shard
             recv = lax.all_to_all(buf, AXIS, split_axis=0,
                                   concat_axis=0).reshape(-1)
             ok = recv != sent
-            lpos = jnp.where(ok, recv - base, jnp.uint32(shard_size))
+            lpos = jnp.where(ok, recv, jnp.uint32(shard_size))
             occ = jnp.zeros((shard_size,), jnp.uint32).at[lpos].add(
                 ok.astype(jnp.uint32), mode="drop")
             wide = cs.astype(jnp.uint32) + occ
@@ -226,21 +248,20 @@ def sharded_min_count(mesh: Mesh, scbf: ShardedCountingBloomFilter,
     def local(counters, hi, lo):
         shape = hi.shape
         n = hi.size
-        pos = _flat_positions(U64(hi.reshape(-1), lo.reshape(-1)),
-                              scbf.size)
-        owner = pos // jnp.uint32(shard_size)
+        lpos_all, owner = _route_local(U64(hi, lo), scbf.size, shard_size,
+                                       p)
         c = _default_cap(n, p) if cap is None else min(cap, n)
-        pay_s, own_s, slot, order, counts = route_prepare(pos, owner, p)
-        my = lax.axis_index(AXIS).astype(jnp.uint32)
-        base = my * jnp.uint32(shard_size)
+        pay_s, own_s, slot, order, counts = route_prepare(lpos_all, owner,
+                                                          p)
         sent = jnp.uint32(0xFFFFFFFF)
 
         def apply_round(acc, rnd):
             buf = _round_sendbuf(pay_s, own_s, slot, p, c, rnd)
+            # received entries are LOCAL counter offsets within my shard
             recv = lax.all_to_all(buf, AXIS, split_axis=0,
                                   concat_axis=0).reshape(-1)
             ok = recv != sent
-            lpos = jnp.where(ok, (recv - base).astype(jnp.int32), 0)
+            lpos = jnp.where(ok, recv, jnp.uint32(0))
             vals = counters[0][lpos].astype(jnp.uint32)
             back = lax.all_to_all(vals.reshape(p, c), AXIS, split_axis=0,
                                   concat_axis=0)
@@ -300,43 +321,52 @@ def sharded_insert(mesh: Mesh, scbf: ShardedCountingBloomFilter,
     h = hashes.hi.shape[-1]
 
     def local(counters, hi, lo, v):
-        pos_l = _flat_positions(U64(hi, lo), scbf.size).reshape(-1, h)
+        r_l = u64.mod_const(U64(hi.reshape(-1), lo.reshape(-1)), scbf.size)
         v_l = jnp.broadcast_to(v[..., None],
                                hi.shape[:-1] + (1,)).reshape(-1)
-        # 1. replicate the full stream (order = device order = stream order)
-        pos = lax.all_gather(pos_l, AXIS, axis=0, tiled=True)
+        # 1. replicate the full stream (order = device order = stream
+        # order); global counter indices stay a (hi, lo) limb pair so the
+        # plane scales past 2**32 counters
+        pos_hi = lax.all_gather(r_l.hi.reshape(-1, h), AXIS, axis=0,
+                                tiled=True)
+        pos_lo = lax.all_gather(r_l.lo.reshape(-1, h), AXIS, axis=0,
+                                tiled=True)
         vv = lax.all_gather(v_l, AXIS, axis=0, tiled=True)
-        n = pos.shape[0]
+        n = pos_hi.shape[0]
         T = n * h
         sent = jnp.uint32(0xFFFFFFFF)
-        flat = jnp.where(vv[:, None], pos, sent).reshape(-1)
+        flat_hi = jnp.where(vv[:, None], pos_hi, sent).reshape(-1)
+        flat_lo = jnp.where(vv[:, None], pos_lo, sent).reshape(-1)
 
-        # 2. unique table + per-slot table ids
+        # 2. unique table + per-slot table ids (2-key limb sort)
         pidx = jnp.arange(T, dtype=jnp.int32)
-        flat_s, pidx_s = lax.sort((flat, pidx), num_keys=1)
-        keep = jnp.ones((T,), bool).at[1:].set(flat_s[1:] != flat_s[:-1])
+        hi_s, lo_s, pidx_s = lax.sort((flat_hi, flat_lo, pidx), num_keys=2)
+        keep = jnp.ones((T,), bool).at[1:].set(
+            (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]))
         uid_s = (jnp.cumsum(keep.astype(jnp.uint32)) - 1)
         _, uid = lax.sort((pidx_s, uid_s), num_keys=1)   # unsort
-        tpos = jnp.full((T,), sent).at[
-            jnp.where(keep, uid_s, jnp.uint32(T)).astype(jnp.int32)].set(
-            flat_s, mode="drop")                         # table -> position
+        tdest = jnp.where(keep, uid_s, jnp.uint32(T)).astype(jnp.int32)
+        tpos_hi = jnp.full((T,), sent).at[tdest].set(hi_s, mode="drop")
+        tpos_lo = jnp.full((T,), sent).at[tdest].set(lo_s, mode="drop")
 
         # 3. fetch table values from owners (one psum)
         my = lax.axis_index(AXIS).astype(jnp.uint32)
-        base = my * jnp.uint32(shard_size)
-        owner = tpos // jnp.uint32(shard_size)           # sent -> >= p
-        mine = owner == my
-        lpos = jnp.where(mine, (tpos - base).astype(jnp.int32), 0)
+        owner64, local64 = u64.divmod_const(U64(tpos_hi, tpos_lo),
+                                            shard_size)
+        mine = (owner64.lo == my) & (owner64.hi == 0)    # sent -> >= p
+        lpos = jnp.where(mine, local64.lo, jnp.uint32(0))
         vals = jnp.where(mine, counters[0][lpos].astype(jnp.uint32), 0)
-        table = lax.psum(vals, AXIS).astype(counters.dtype)
+        table = lax.psum(vals, AXIS)
 
-        # 4. replicated exact decomposition on the compact table
+        # 4. replicated exact decomposition on the compact uint32 table
+        # (per_word=1: one uint32-addressed counter per word; the width's
+        # counter_max keeps increment/freeze semantics exact)
         new_table = counting_mod.insert_positions(
-            table, uid.reshape(n, h), vv, scbf.counter_max, T,
+            table, uid.reshape(n, h), vv, scbf.counter_max, T, 1,
             max_entangled)
 
         # 5. write back my entries
-        dest = jnp.where(mine, lpos, jnp.int32(shard_size))
+        dest = jnp.where(mine, lpos, jnp.uint32(shard_size))
         cs = counters[0].at[dest].set(
             jnp.where(mine, new_table, 0).astype(counters.dtype),
             mode="drop")

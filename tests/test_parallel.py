@@ -298,7 +298,7 @@ def test_sharded_counting_insert_all_matches_single(mesh, cap):
     scbf = dist_counting.sharded_insert_all(mesh, scbf, f.hashes, f.valid,
                                             cap=cap)
     np.testing.assert_array_equal(np.asarray(scbf.counters).reshape(-1),
-                                  np.asarray(cbf.counters))
+                                  counting.to_numpy(cbf))
 
     mc1 = np.asarray(counting.min_count(cbf, f.hashes))
     mc2 = np.asarray(dist_counting.sharded_min_count(mesh, scbf, f.hashes,
@@ -327,7 +327,7 @@ def test_sharded_counting_insert_all_cap_overflow_saturates_exactly(mesh):
     scbf = dist_counting.sharded_insert_all(mesh, scbf, f.hashes, f.valid,
                                             cap=2)
     counters = np.asarray(scbf.counters).reshape(-1)
-    np.testing.assert_array_equal(counters, np.asarray(cbf.counters))
+    np.testing.assert_array_equal(counters, counting.to_numpy(cbf))
     assert counters.max() == 255  # saturation really happened
 
 
@@ -343,7 +343,7 @@ def test_sharded_counting_conservative_insert_matches_single(mesh):
     cbf = counting.insert(cbf, f.hashes, f.valid)
     scbf = dist_counting.sharded_insert(mesh, scbf, f.hashes, f.valid)
     np.testing.assert_array_equal(np.asarray(scbf.counters).reshape(-1),
-                                  np.asarray(cbf.counters))
+                                  counting.to_numpy(cbf))
 
 
 def test_sharded_counting_conservative_entangled_heavy(mesh):
@@ -364,13 +364,13 @@ def test_sharded_counting_conservative_entangled_heavy(mesh):
 
     scbf = dist_counting.sharded_insert(mesh, scbf0, f.hashes, f.valid)
     np.testing.assert_array_equal(np.asarray(scbf.counters).reshape(-1),
-                                  np.asarray(ref.counters))
+                                  counting.to_numpy(ref))
 
     # force the full-sequential fallback inside the replicated table
     scbf2 = dist_counting.sharded_insert(mesh, scbf0, f.hashes, f.valid,
                                          max_entangled=4)
     np.testing.assert_array_equal(np.asarray(scbf2.counters).reshape(-1),
-                                  np.asarray(ref.counters))
+                                  counting.to_numpy(ref))
 
 
 # ---------------------------------------------------------------------------
@@ -445,3 +445,86 @@ def test_sharded_classification_matches_single(mesh):
     assert any(p1)
     for a, b in zip(p1, p2):
         assert _query_results_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# sharded filters beyond 2**32 addressable units (two-limb local routing)
+# ---------------------------------------------------------------------------
+
+def test_sharded_bloom_beyond_2_32_bits(mesh):
+    """A sharded bit array larger than 2**32 bits must route exactly:
+    local offsets are the low limb of divmod(position, shard_bits)
+    (BloomFilter.hpp size_t addressing, :190-192). Verified bit-identical
+    to the single-device two-limb insert path."""
+    size = (1 << 32) + 256 * 32
+    h, k = 3, 5
+    n = 256
+    rng = np.random.default_rng(33)
+    vals = np.concatenate([
+        rng.integers(0, 1 << 32, size=(n // 2, h), dtype=np.uint64),
+        rng.integers(1 << 32, size, size=(n // 2, h), dtype=np.uint64)])
+    hashes = u64.from_numpy(vals.reshape(n, 1, h))
+    sbf = dist_bloom.create_sharded(mesh, size, h, k)
+    sbf, overflow = dist_bloom.sharded_insert_frames(
+        mesh, sbf, hashes, jnp.ones((n, 1), bool))
+    got = dist_bloom.sharded_contains_frames(mesh, sbf, hashes)
+    assert np.asarray(got).all()
+
+    bf = bloom.insert(bloom.create(size, h, k), u64.from_numpy(vals))
+    np.testing.assert_array_equal(np.asarray(sbf.words).reshape(-1),
+                                  np.asarray(bf.words))
+    assert int(bloom.get_pop(bf)) > 0
+
+    probes = rng.integers(0, size, size=(64, h), dtype=np.uint64)
+    exp = np.asarray(bloom.contains(bf, u64.from_numpy(probes)))
+    got2 = dist_bloom.sharded_contains_frames(
+        mesh, sbf, u64.from_numpy(probes.reshape(64, 1, h)))
+    np.testing.assert_array_equal(np.asarray(got2).reshape(-1), exp)
+
+
+def test_sharded_counting_beyond_2_32_counters(mesh):
+    """A sharded counter plane larger than 2**32 counters: conservative
+    insert, min-count and incrementAll all route via two-limb local
+    offsets; verified against a python conservative-update model of the
+    touched counters (CountingBloomFilter.hpp:135-162)."""
+    from btl_bloomfilter_tpu.parallel import dist_counting
+
+    size_bytes = (1 << 32) + 64
+    h, k = 2, 5
+    scbf = dist_counting.create_sharded(mesh, size_bytes, h, k, 1, 1)
+    size = scbf.size
+    assert size > (1 << 32)
+    n = 64
+    rng = np.random.default_rng(44)
+    vals = np.concatenate([
+        rng.integers(0, 1 << 32, size=(n // 2, h), dtype=np.uint64),
+        rng.integers(1 << 32, size, size=(n // 2, h), dtype=np.uint64)])
+    vals[n // 2: n // 2 + 8] = vals[:8]     # repeated frames
+    hashes = u64.from_numpy(vals.reshape(n, 1, h))
+    scbf = dist_counting.sharded_insert(mesh, scbf, hashes)
+
+    model = {}
+    for row in vals:
+        pos = [int(x) % size for x in row]
+        mn = min(model.get(p0, 0) for p0 in pos)
+        for p0 in pos:
+            if model.get(p0, 0) == mn:
+                model[p0] = mn + 1
+    plane = np.asarray(scbf.counters).reshape(-1)
+    for p0, c in model.items():
+        assert plane[p0] == c, (p0, plane[p0], c)
+
+    mc = np.asarray(dist_counting.sharded_min_count(mesh, scbf, hashes))
+    exp = [min(model[int(x) % size] for x in row) for row in vals]
+    np.testing.assert_array_equal(mc.reshape(-1), exp)
+
+    # incrementAll on top: every addressed counter +1 per occurrence
+    scbf2 = dist_counting.sharded_insert_all(mesh, scbf, hashes)
+    occ = {}
+    for row in vals:
+        for x in row:
+            p0 = int(x) % size
+            occ[p0] = occ.get(p0, 0) + 1
+    plane2 = np.asarray(scbf2.counters).reshape(-1)
+    for p0, c in occ.items():
+        assert plane2[p0] == model[p0] + c, (p0, plane2[p0], model[p0], c)
