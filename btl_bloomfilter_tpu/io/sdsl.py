@@ -112,20 +112,64 @@ def serialize_bit_vector_il(bits_u32: np.ndarray, size_bits: int) -> bytes:
     return bytes(out)
 
 
-def deserialize_bit_vector_il(buf: bytes):
-    """Parse bit_vector_il<512> bytes -> (bits_u32, size_bits). The
-    rank-sample tree, when present, is validated against the interleaved
-    rank words (corrupt/mismatched files are rejected)."""
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64, copy=True)
+    for shift, mask in ((1, 0x5555555555555555), (2, 0x3333333333333333),
+                        (4, 0x0F0F0F0F0F0F0F0F)):
+        v = (v & np.uint64(mask)) + ((v >> np.uint64(shift)) & np.uint64(mask))
+    return (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def deserialize_bit_vector_il(buf: bytes, with_info: bool = False):
+    """Parse bit_vector_il<512> bytes -> (bits_u32, size_bits)
+    (or ``(bits_u32, size_bits, info)`` when ``with_info``).
+
+    Tolerant of both conventions this reconstruction cannot pin down
+    without genuine sdsl-lite output (docs/PARITY.md deviations 1):
+
+    * an OPTIONAL trailing total-rank word after the interleaved blocks
+      (accepted iff it equals the vector's total rank);
+    * the rank-sample vector LENGTH: any prefix/extension of the expected
+      BFS tree is accepted as long as the overlap matches and any extra
+      entries are zero padding.
+
+    ``info`` records which variant was read
+    (``{"trailing_total_rank": bool, "sample_convention": str}``).
+    Corrupt/mismatched files are still rejected."""
     size_bits = struct.unpack_from("<Q", buf, 0)[0]
     data_bits = struct.unpack_from("<Q", buf, 8)[0]
     nwords = data_bits // 64
     interleaved = np.frombuffer(buf, dtype="<u8", count=nwords, offset=16)
-    # strip the per-superblock rank words
-    nblocks = nwords // (_WORDS_PER_BLOCK + 1)
-    il = interleaved.reshape(nblocks, _WORDS_PER_BLOCK + 1)
+    # strip the per-superblock rank words; tolerate one trailing
+    # total-rank word (sdsl stores the closing cumulative rank in some
+    # rank-support layouts)
+    nblocks, rem = divmod(nwords, _WORDS_PER_BLOCK + 1)
+    trailing = False
+    if rem == 1:
+        trailing = True
+        body = interleaved[:-1]
+        total = interleaved[-1]
+    elif rem == 0:
+        body = interleaved
+        total = None
+    else:
+        raise ValueError(
+            f".sdsl interleaved data length {nwords} is not a whole "
+            f"number of {_WORDS_PER_BLOCK + 1}-word superblocks "
+            "(+ optional trailing total-rank word)")
+    il = body.reshape(nblocks, _WORDS_PER_BLOCK + 1)
+    if total is not None:
+        expect_total = (int(il[-1, 0]) +
+                        int(_popcount64(il[-1, 1:]).sum())) if nblocks \
+            else 0
+        if int(total) != expect_total:
+            raise ValueError(
+                f".sdsl trailing total-rank word {int(total)} != computed "
+                f"total rank {expect_total}")
     off = 16 + nwords * 8
     sample_bits = struct.unpack_from("<Q", buf, off)[0]
     nsamples = sample_bits // 64
+    convention = "absent"
     if nsamples:
         samples = np.frombuffer(buf, dtype="<u8", count=nsamples,
                                 offset=off + 8)
@@ -134,6 +178,20 @@ def deserialize_bit_vector_il(buf: bytes):
         if not np.array_equal(samples[:m], expect[:m]):
             raise ValueError(
                 ".sdsl rank samples disagree with interleaved rank words")
+        if nsamples > expect.shape[0]:
+            if np.any(samples[expect.shape[0]:] != 0):
+                raise ValueError(
+                    ".sdsl rank-sample tail beyond the BFS tree is "
+                    "non-zero")
+            convention = "zero-padded"
+        elif nsamples < expect.shape[0]:
+            convention = "truncated"
+        else:
+            convention = "bfs-tree"
     data64 = il[:, 1:].reshape(-1)
     n64 = (size_bits + 63) // 64
-    return _bits_u32_from_words64(data64[:n64], size_bits), size_bits
+    bits = _bits_u32_from_words64(data64[:n64], size_bits)
+    if with_info:
+        return bits, size_bits, {"trailing_total_rank": trailing,
+                                 "sample_convention": convention}
+    return bits, size_bits

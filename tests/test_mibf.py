@@ -349,6 +349,84 @@ def test_sdsl_rank_samples_roundtrip_and_validation():
         sdsl_io.deserialize_bit_vector_il(bytes(bad))
 
 
+def _sdsl_variant(buf, trailing=False, sample_pad=0):
+    """Rebuild an .sdsl byte buffer in one of the 2x2 convention variants
+    the loader must tolerate (docs/PARITY.md deviations 1): an optional
+    trailing total-rank word after the interleaved blocks, and a
+    zero-padded (or truncated, sample_pad < 0) rank-sample vector."""
+    import struct
+
+    size_bits = struct.unpack_from("<Q", buf, 0)[0]
+    data_bits = struct.unpack_from("<Q", buf, 8)[0]
+    nwords = data_bits // 64
+    il = np.frombuffer(buf, dtype="<u8", count=nwords, offset=16)
+    off = 16 + nwords * 8
+    sample_bits = struct.unpack_from("<Q", buf, off)[0]
+    nsamples = sample_bits // 64
+    samples = np.frombuffer(buf, dtype="<u8", count=nsamples,
+                            offset=off + 8)
+
+    wpb = sdsl_words_per_block()
+    blocks = il.reshape(-1, wpb + 1)
+    if trailing:
+        total = int(blocks[-1, 0]) + int(
+            np.unpackbits(blocks[-1, 1:].astype("<u8").view(np.uint8)).sum())
+        il = np.concatenate([il, np.asarray([total], dtype="<u8")])
+    if sample_pad > 0:
+        samples = np.concatenate(
+            [samples, np.zeros(sample_pad, dtype="<u8")])
+    elif sample_pad < 0:
+        samples = samples[:sample_pad]
+
+    out = bytearray()
+    out += struct.pack("<Q", size_bits)
+    out += struct.pack("<Q", 64 * il.shape[0])
+    out += il.tobytes()
+    out += struct.pack("<Q", 64 * samples.shape[0])
+    out += samples.tobytes()
+    return bytes(out)
+
+
+def sdsl_words_per_block():
+    from btl_bloomfilter_tpu.io import sdsl as sdsl_io
+    return sdsl_io._WORDS_PER_BLOCK
+
+
+@pytest.mark.parametrize("trailing,sample_pad,convention", [
+    (False, 0, "bfs-tree"),
+    (True, 0, "bfs-tree"),
+    (False, 3, "zero-padded"),
+    (True, -1, "truncated"),
+])
+def test_sdsl_loader_convention_tolerance(trailing, sample_pad, convention):
+    """All 2x2 convention variants of a genuine-layout .sdsl load to the
+    same bit vector, and the loader reports which variant it read
+    (VERDICT r3 next #7; MIBloomFilter.hpp:294-297)."""
+    from btl_bloomfilter_tpu.io import sdsl as sdsl_io
+
+    rng = np.random.default_rng(9)
+    size_bits = 4096
+    bits = rng.integers(0, 1 << 32, size=size_bits // 32, dtype=np.uint32)
+    base = sdsl_io.serialize_bit_vector_il(bits, size_bits)
+    var = _sdsl_variant(base, trailing=trailing, sample_pad=sample_pad)
+    back, sz, info = sdsl_io.deserialize_bit_vector_il(var, with_info=True)
+    assert sz == size_bits
+    np.testing.assert_array_equal(back, bits)
+    assert info["trailing_total_rank"] == trailing
+    assert info["sample_convention"] == convention
+
+    # a WRONG trailing word is still rejected
+    import struct
+
+    bad = bytearray(_sdsl_variant(base, trailing=True))
+    data_bits = struct.unpack_from("<Q", bad, 8)[0]
+    toff = 16 + (data_bits // 64 - 1) * 8
+    struct.pack_into("<Q", bad, toff,
+                     struct.unpack_from("<Q", bad, toff)[0] + 1)
+    with pytest.raises(ValueError):
+        sdsl_io.deserialize_bit_vector_il(bytes(bad))
+
+
 def test_insert_bv_colli_batched_matches_sequential():
     """The batched insertBVColli must be bit-identical to the scan
     mirror on duplicate-heavy streams with invalid frames mixed in."""
