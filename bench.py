@@ -45,13 +45,17 @@ REPS = 10
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-# Pinned single-core C++ reference rate: median of 10 runs on the driver
-# machine (2026-08-20, g++ -O3, pinned config above; run log in
-# BASELINE.md "Pinned C++ baseline"). vs_baseline divides by THIS so the
-# headline multiplier is comparable across rounds — single live runs
-# swung +-30% with machine load (r1: 5.5M, r2 docs: 4.68M, BENCH_r02:
-# 3.54M). The live median is still measured and reported alongside.
-PINNED_CPP_KMERS_PER_S = 5.46e6
+# Pinned single-core C++ reference rates: medians of 10 runs on the
+# driver machine (2026-08-21, g++ -O3, pinned config above; run logs and
+# the round-4 re-pin justification in BASELINE.md "Pinned C++
+# baselines"). The *_vs_baseline ratios divide by THESE so headline
+# multipliers are comparable across rounds — single live runs swing
+# +-30% with machine load. The live median is still measured and
+# reported alongside.
+PINNED_CPP_KMERS_PER_S = 4.50e6
+PINNED_CPP_QUERY_KMERS_PER_S = 7.10e6
+PINNED_CPP_COUNTING_INSERT_KMERS_PER_S = 3.47e6
+PINNED_CPP_COUNTING_QUERY_KMERS_PER_S = 5.40e6
 
 
 def cpp_baseline():
@@ -144,9 +148,16 @@ def query_rates():
 
     # counting filter: conservative update (the reference's default insert
     # semantics, CountingBloomFilter.hpp:135-162) + min-count query, at the
-    # same geometry (2**30 uint8 counters)
+    # same geometry (2**30 uint8 counters). The batch is 3072 reads: the
+    # windowed kernels need ~25M sorted positions per step to keep chunk
+    # spans inside their windows over the 2**28-word counter plane
+    # (docs/PERFORMANCE.md "window-coverage density"); throughput is still
+    # reported per k-mer.
     from btl_bloomfilter_tpu.models import counting
 
+    CB = 3072
+    ccodes = jnp.asarray(rng.integers(0, 4, size=(CB, L), dtype=np.uint8))
+    ckmers = CB * (L - K + 1)
     cbf = counting.create(SIZE, H, K, count_threshold=1, counter_width=1)
 
     @functools.partial(jax.jit, donate_argnums=0)
@@ -162,16 +173,22 @@ def query_rates():
         return counting.contains(st, f.hashes) & f.valid
 
     # donated arg: rebind instead of reusing (timed() reuses its args)
-    counters = counting_insert(cbf.counters, codes)
+    counters = counting_insert(cbf.counters, ccodes)
     int(jnp.sum(counters.ravel()[:1].astype(jnp.int32)))
     t0 = time.perf_counter()
     for _ in range(10):
-        counters = counting_insert(counters, codes)
+        counters = counting_insert(counters, ccodes)
     int(jnp.sum(counters.ravel()[:1].astype(jnp.int32)))
-    out["counting_insert_kmers_per_s"] = kmers * 10 / (time.perf_counter()
+    out["counting_insert_kmers_per_s"] = ckmers * 10 / (time.perf_counter()
+                                                        - t0)
+    cq = counting_query(counters, ccodes)
+    int(jnp.sum(cq.ravel()[:1].astype(jnp.int32)))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        cq = counting_query(counters, ccodes)
+    int(jnp.sum(cq.ravel()[:1].astype(jnp.int32)))
+    out["counting_query_kmers_per_s"] = ckmers * 10 / (time.perf_counter()
                                                        - t0)
-    out["counting_query_kmers_per_s"] = timed(counting_query, counters,
-                                              codes)
 
     @jax.jit
     def classic_query(words, codes):
@@ -249,6 +266,15 @@ def main():
             round(extras["counting_insert_kmers_per_s"], 1),
         "counting_query_kmers_per_s":
             round(extras["counting_query_kmers_per_s"], 1),
+        "query_vs_baseline": round(
+            extras["classic_query_kmers_per_s"]
+            / PINNED_CPP_QUERY_KMERS_PER_S, 3),
+        "counting_insert_vs_baseline": round(
+            extras["counting_insert_kmers_per_s"]
+            / PINNED_CPP_COUNTING_INSERT_KMERS_PER_S, 3),
+        "counting_query_vs_baseline": round(
+            extras["counting_query_kmers_per_s"]
+            / PINNED_CPP_COUNTING_QUERY_KMERS_PER_S, 3),
         "roofline_frac": round(roofline_frac(rate), 4),
         "cpp_baseline_pinned_kmers_per_s": PINNED_CPP_KMERS_PER_S,
         "cpp_baseline_kmers_per_s": round(base, 1) if base else None,

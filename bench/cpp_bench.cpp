@@ -1,7 +1,10 @@
 // Single-core reference baseline: ntHashIterator + BloomFilter::insert /
-// contains over random reads, timed. Compiled against the read-only C++
-// reference (-I/root/reference). Prints JSON with k-mers/s.
+// contains and CountingBloomFilter<uint8_t>::insert / contains
+// (conservative update, CountingBloomFilter.hpp:135-162, 190-196) over
+// random reads, timed. Compiled against the read-only C++ reference
+// (-I/root/reference). Prints JSON with k-mers/s for all four metrics.
 #include "BloomFilter.hpp"
+#include "CountingBloomFilter.hpp"
 #include "vendor/ntHashIterator.hpp"
 #include <chrono>
 #include <cstdio>
@@ -51,8 +54,38 @@ int main(int argc, char** argv) {
     t1 = std::chrono::steady_clock::now();
     double query_s = std::chrono::duration<double>(t1 - t0).count();
 
+    // counting filter at the same geometry: `size` COUNTERS of uint8
+    // (the TPU bench's 2^30-counter uint8 config)
+    CountingBloomFilter<uint8_t> cbf(size, h, k, 1);
+    for (auto& s : reads) {  // warm pass
+        ntHashIterator itr(s, h, k);
+        while (itr != itr.end()) { cbf.insert(*itr); ++itr; }
+    }
+    size_t ck = 0;
+    t0 = std::chrono::steady_clock::now();
+    for (int r = 0; r < reps; ++r)
+        for (auto& s : reads) {
+            ntHashIterator itr(s, h, k);
+            while (itr != itr.end()) { cbf.insert(*itr); ++ck; ++itr; }
+        }
+    t1 = std::chrono::steady_clock::now();
+    double cins_s = std::chrono::duration<double>(t1 - t0).count();
+
+    size_t chits = 0, cqk = 0;
+    t0 = std::chrono::steady_clock::now();
+    for (int r = 0; r < reps; ++r)
+        for (auto& s : reads) {
+            ntHashIterator itr(s, h, k);
+            while (itr != itr.end()) { chits += cbf.contains(*itr); ++cqk; ++itr; }
+        }
+    t1 = std::chrono::steady_clock::now();
+    double cq_s = std::chrono::duration<double>(t1 - t0).count();
+
     printf("{\"insert_kmers_per_s\": %.1f, \"query_kmers_per_s\": %.1f, "
-           "\"kmers\": %zu, \"hits\": %zu}\n",
-           kmers / insert_s, qk / query_s, kmers, hits);
+           "\"counting_insert_kmers_per_s\": %.1f, "
+           "\"counting_query_kmers_per_s\": %.1f, "
+           "\"kmers\": %zu, \"hits\": %zu, \"counting_hits\": %zu}\n",
+           kmers / insert_s, qk / query_s, ck / cins_s, cqk / cq_s,
+           kmers, hits, chits);
     return 0;
 }
