@@ -36,6 +36,7 @@ import numpy as np
 
 from ..ops import u64
 from ..ops.u64 import U64
+from .counting import _blocked_scan
 from ..utils import stdcpp
 from . import bloom as bloom_mod
 from . import mibf as mibf_mod
@@ -122,8 +123,7 @@ def insert_bv_colli(state: BitVectorState, hashes: U64, valid=None):
                                  is_stable=False)
     idx = jnp.arange(n * h, dtype=jnp.int32)
     is_start = jnp.ones(n * h, bool).at[1:].set(p_s[1:] != p_s[:-1])
-    run_start = jax.lax.associative_scan(jnp.maximum,
-                                         jnp.where(is_start, idx, 0))
+    run_start = _blocked_scan(jnp.maximum, jnp.where(is_start, idx, 0), 0)
     first_f = f_s[run_start]              # first frame writing this position
     written_earlier = first_f < f_s
     # un-permute the 1-bit flag with the packed-key trick
@@ -252,8 +252,8 @@ def reservoir_core(data: jax.Array, counts: jax.Array, rank: jax.Array,
     # within-group index: i - start_of_group
     idx = jnp.arange(n)
     is_start = jnp.ones(n, bool).at[1:].set(rank_o[1:] != rank_o[:-1])
-    group_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, idx, 0))
+    group_start = _blocked_scan(jnp.maximum,
+                                jnp.where(is_start, idx, 0), 0)
     within = idx - group_start
 
     c0 = counts[jnp.clip(rank_o, 0, max(d_size - 1, 0))].astype(jnp.uint32)
@@ -276,9 +276,7 @@ def reservoir_core(data: jax.Array, counts: jax.Array, rank: jax.Array,
         (hval % safe_count) == (count_val - 1))
 
     # last accepted within each group wins (later setData overwrites)
-    win_idx = jax.lax.associative_scan(
-        jnp.maximum,
-        jnp.where(accepted, idx, -1))
+    win_idx = _blocked_scan(jnp.maximum, jnp.where(accepted, idx, -1), -1)
     # at group ends, win_idx holds the last accepted index of that group;
     # an element is the winner iff it is accepted and no later element of
     # its group is accepted: equivalently idx == segment_max(accepted idx)
@@ -432,13 +430,13 @@ def saturation_ranks(data: jax.Array, counts: jax.Array, rk: jax.Array,
     new_grp = jnp.ones((n,), bool).at[1:].set(
         jnp.any(ks[1:] != ks[:-1], axis=1))
 
-    gid = jnp.cumsum(new_grp.astype(jnp.int32)) - 1
+    gid = _blocked_scan(jnp.add, new_grp.astype(jnp.int32), 0) - 1
     idx = jnp.arange(n, dtype=jnp.int32)
     run_start = jnp.where(new_grp, idx, 0)
-    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+    run_start = _blocked_scan(jnp.maximum, run_start, 0)
     is_last = jnp.ones((n,), bool).at[:-1].set(new_grp[1:])
     run_end = jnp.where(is_last, idx, n - 1)
-    run_end = jax.lax.associative_scan(jnp.minimum, run_end, reverse=True)
+    run_end = _blocked_scan(jnp.minimum, run_end, n - 1, reverse=True)
 
     # --- 2. entanglement: ranks shared across groups ----------------------
     pair_rank = ks.reshape(-1)                         # [n*h], gid-major
@@ -452,10 +450,11 @@ def saturation_ranks(data: jax.Array, counts: jax.Array, rk: jax.Array,
         [shared_prev[1:], jnp.zeros(1, bool)])
     packed = jnp.sort((pi_s << 1) | shared.astype(jnp.uint32))
     frame_shared = jnp.any((packed & 1).reshape(n, h) == 1, axis=1)
-    last_shared = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(frame_shared, idx, -1))
-    next_shared = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(frame_shared, idx, n), reverse=True)
+    last_shared = _blocked_scan(jnp.maximum,
+                                jnp.where(frame_shared, idx, -1), -1)
+    next_shared = _blocked_scan(jnp.minimum,
+                                jnp.where(frame_shared, idx, n), n,
+                                reverse=True)
     entangled_s = (last_shared >= run_start) | (next_shared <= run_end)
 
     live_s = ks[:, 0] != sentr
