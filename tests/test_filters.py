@@ -422,6 +422,25 @@ def test_cbf64_min_count_contains_and_roundtrip(tmp_path):
     np.testing.assert_array_equal(raw, base)
 
 
+@pytest.mark.parametrize("n", [1, 7, 1000, 1024, 1025, 5000, 262145])
+def test_blocked_scan_matches_numpy(n):
+    """The two-level Hillis-Steele scan (the associative_scan replacement
+    that keeps TPU compiles tractable — docs/PERFORMANCE.md) must match
+    numpy accumulate for add/max forward and min reverse."""
+    rng = np.random.default_rng(n)
+    x = rng.integers(-1000, 1000, size=n).astype(np.int32)
+    jx = jnp.asarray(x)
+    np.testing.assert_array_equal(
+        np.asarray(counting._blocked_scan(jnp.add, jx, 0)), np.cumsum(x))
+    np.testing.assert_array_equal(
+        np.asarray(counting._blocked_scan(jnp.maximum, jx, -(1 << 31))),
+        np.maximum.accumulate(x))
+    np.testing.assert_array_equal(
+        np.asarray(counting._blocked_scan(jnp.minimum, jx, (1 << 31) - 1,
+                                          reverse=True)),
+        np.minimum.accumulate(x[::-1])[::-1])
+
+
 # ---------------------------------------------------------------------------
 # round-scheduled entangled replay (counting._replay_schedule)
 # ---------------------------------------------------------------------------
