@@ -5,6 +5,9 @@
 #   1. full unit-test suite on a virtual 8-device CPU mesh
 #   2. single-chip compile check of the driver entry point
 #   3. multi-chip sharding dry run (8 virtual devices)
+# The real-hardware complement (kernel-vs-XLA equality on the chip this
+# CPU gate cannot reach) is `python bench/chip_check.py` — run it after
+# any kernel change; latest all-green record in docs/STATUS.md.
 set -euo pipefail
 cd "$(dirname "$0")"
 
