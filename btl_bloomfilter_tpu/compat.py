@@ -472,6 +472,15 @@ class MIBFQuerySupport:
         v = np.ones(arr.shape[0], bool) if valid is None else valid
         return self._qs.get_match_signature(u64.from_numpy(arr), v)
 
+    def calcSat(self, evaluatedValues: int, singleEventProbSaturted: float,
+                saturatedCount: int) -> float:
+        """MIBFQuerySupport.hpp:544-553 (binomial CDF of the saturation
+        count; the boost::math dependency lives in utils/binomial.py)."""
+        from .utils import binomial
+        return binomial.calc_sat(int(evaluatedValues),
+                                 float(singleEventProbSaturted),
+                                 int(saturatedCount))
+
     def getSatCount(self) -> int:
         return self._qs.sat_count
 

@@ -40,8 +40,15 @@ def store_mibf(m, path: str) -> None:
             if len(s) != m.kmer_size:
                 raise ValueError("spaced seed length != kmer size")
             f.write(s.encode("ascii"))
-        f.write(np.asarray(m.data).astype(
-            _NP_LE[m.data_width]).tobytes())
+        if m.data_width == 8:
+            # dual uint32 planes -> raw little-endian uint64 stream
+            planes = np.asarray(m.data)
+            vals = (planes[0].astype("<u8")
+                    | (planes[1].astype("<u8") << np.uint64(32)))
+            f.write(vals.tobytes())
+        else:
+            f.write(np.asarray(m.data).astype(
+                _NP_LE[m.data_width]).tobytes())
     with open(path + ".sdsl", "wb") as f:
         f.write(sdsl_io.serialize_bit_vector_il(
             np.asarray(m.bv_words), m.size))
@@ -75,7 +82,12 @@ def load_mibf(path: str, data_width: int = 2):
         raise ValueError(
             f"{path} does not match size given by its header: {len(body)}"
             f" vs {d_size * data_width} bytes")
-    data = np.frombuffer(body, dtype=_NP_LE[data_width], count=d_size)
+    if data_width == 8:
+        vals = np.frombuffer(body, dtype="<u8", count=d_size)
+        data = np.stack([(vals & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                         (vals >> np.uint64(32)).astype(np.uint32)])
+    else:
+        data = np.frombuffer(body, dtype=_NP_LE[data_width], count=d_size)
 
     with open(path + ".sdsl", "rb") as f:
         bits_u32, size_bits = sdsl_io.deserialize_bit_vector_il(f.read())

@@ -184,8 +184,16 @@ def deserialize_bit_vector_il(buf: bytes, with_info: bool = False):
                     ".sdsl rank-sample tail beyond the BFS tree is "
                     "non-zero")
             convention = "zero-padded"
-        elif nsamples < expect.shape[0]:
+        elif nsamples == expect.shape[0] - 1:
+            # exactly one fewer entry: a plausible tree-size convention
+            # (complete tree minus the closing leaf); anything shorter is
+            # indistinguishable from a corrupt/cut-short file -> reject
             convention = "truncated"
+        elif nsamples < expect.shape[0]:
+            raise ValueError(
+                f".sdsl rank-sample vector has {nsamples} entries; "
+                f"expected {expect.shape[0]} (or one fewer) — file "
+                "truncated or corrupt")
         else:
             convention = "bfs-tree"
     data64 = il[:, 1:].reshape(-1)

@@ -589,9 +589,13 @@ def _conservative_decompose(pos: jax.Array, v: jax.Array,
         # expected remainder ~ collision pairs = (n*h)**2 / (2*size) (the
         # stream-first halves of the pairs fold into the closed form);
         # 1.25x margin + slack is ~60 sigma of the Poisson count at bench
-        # scale, and the replay's per-round masked gathers scale with cap
+        # scale, and the replay's per-round masked gathers scale with cap.
+        # Frames demoted from the depth-1 fold by an in-frame duplicate
+        # position (~ n*h*(h-1)/(2*size) of them) land in the remainder
+        # too — counted in the margin so the fold-in assumption holds.
         expected = (n * h) ** 2 // (2 * max(size, 1))
-        cap = max(256, expected + expected // 4 + 1024)
+        in_frame_dup = (n * h * (h - 1)) // (2 * max(size, 1))
+        cap = max(256, expected + expected // 4 + in_frame_dup + 1024)
     cap = min(cap, n)
     n_ent = jnp.sum(remainder.astype(jnp.int32))
     ent_key = jnp.where(remainder, frame_of, jnp.int32(n))
@@ -637,11 +641,18 @@ def _replay_schedule(ent_pos: jax.Array, n_ent, sent, max_rounds=32):
         # per iteration at bench scale; the 1-key sort is ~10x cheaper)
         need_cap = jnp.minimum(dprev + 1,
                                jnp.int32(max_rounds + 1)).astype(jnp.uint32)
-        packed = jax.lax.sort(
-            ((pi_s.astype(jnp.uint32) << 6) | need_cap,),
-            is_stable=False)[0]
-        need_f = jnp.max((packed & 63).astype(jnp.int32).reshape(cap, h),
-                         axis=1)
+        if cap * h < (1 << 26):
+            # packed-key trick: 6 depth bits below the slot index; the
+            # static guard keeps the shift inside uint32 (a larger cap
+            # falls through to the payload sort below)
+            packed = jax.lax.sort(
+                ((pi_s.astype(jnp.uint32) << 6) | need_cap,),
+                is_stable=False)[0]
+            need = (packed & 63).astype(jnp.int32)
+        else:
+            _, need_u = jax.lax.sort((pi_s, need_cap), num_keys=1)
+            need = need_u.astype(jnp.int32)
+        need_f = jnp.max(need.reshape(cap, h), axis=1)
         new = jnp.where(live, jnp.maximum(depth, need_f), 0)
         return new, jnp.any(new != depth), it + 1
 

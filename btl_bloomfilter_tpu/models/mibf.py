@@ -11,6 +11,13 @@ Value-bit layout parity (MIBloomFilter.hpp:36-44): the top bit of each data
 value is the saturation flag ``s_mask``, the next bit the strand flag
 ``s_strand``; the rest is the ID.
 
+Data widths 1/2/4 store the ID array in the matching unsigned dtype; the
+uint64 instantiation (``MIBloomFilter<uint64_t>``, data_width=8) stores it
+DUAL-PLANE as ``uint32[2, d_size]`` (row 0 = low limbs, row 1 = high limbs
+— the same pattern as the counting filter's u64 counters), with s_mask at
+bit 63 and s_strand at bit 62 living in the high plane. Width-8 value
+results come back as :class:`~..ops.u64.U64` pairs.
+
 The bit vector is frozen after construction (phase 2 of the construct
 pipeline); ``freeze`` computes the rank acceleration structure once.
 """
@@ -32,6 +39,20 @@ from ..ops.u64 import U64
 _DTYPES = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32}
 
 BLOCKSIZE = 512  # sdsl interleaving block, MIBloomFilter.hpp:44
+
+# width-8 (uint64 T) high-plane bit constants: s_mask/s_strand at bits
+# 63/62 == bits 31/30 of the high limb (MIBloomFilter.hpp:36-44)
+SAT_HI = 0x80000000
+STRAND_HI = 0x40000000
+ANTI_HI = 0x7FFFFFFF     # ~s_mask, high limb
+ID_HI = 0x3FFFFFFF       # s_strand - 1, high limb
+
+
+def _sat_u64(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """value > s_mask for width-8 values (the reference's saturation test
+    ``m_data[i] > s_mask``, MIBloomFilter.hpp:452-469) on dual planes."""
+    sh = jnp.uint32(SAT_HI)
+    return (hi > sh) | ((hi == sh) & (lo > 0))
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -104,7 +125,10 @@ def freeze(bv_words: jax.Array, size: int, hash_num: int, kmer_size: int,
     pops = jax.lax.population_count(bv_words)
     cum = jnp.cumsum(pops.astype(jnp.uint32)) - pops.astype(jnp.uint32)
     d_size = int(jnp.sum(pops))
-    data = jnp.zeros(d_size, _DTYPES[data_width])
+    if data_width == 8:
+        data = jnp.zeros((2, d_size), jnp.uint32)   # [lo, hi] planes
+    else:
+        data = jnp.zeros(d_size, _DTYPES[data_width])
     return MIBloomFilter(bv_words=bv_words, cum_ranks=cum, data=data,
                          size=size, hash_num=hash_num, kmer_size=kmer_size,
                          d_size=d_size, data_width=data_width,
@@ -255,6 +279,16 @@ def at_rank_data(mibf: MIBloomFilter, hashes: U64,
     dual-array pass over bv/cum_ranks and a sorted pass over data)."""
     pos = positions(mibf, hashes)
 
+    if mibf.data_width == 8:
+        # dual-plane u64 IDs: raw comes back as a U64 pair (the windowed
+        # data-gather kernel is single-plane; ranks may still ride the
+        # rank kernel via at_rank)
+        rank, hit = at_rank(mibf, hashes, use_kernel=use_kernel)
+        z = jnp.uint32(0)
+        raw = U64(jnp.where(hit, mibf.data[1][rank], z),
+                  jnp.where(hit, mibf.data[0][rank], z))
+        return rank, hit, raw
+
     def fallback():
         rank, hit = rank_of_positions(mibf, pos)
         raw = jnp.where(hit, mibf.data[rank].astype(jnp.uint32),
@@ -309,11 +343,20 @@ def at(mibf: MIBloomFilter, hashes: U64, max_miss: int = 0):
     """Batch equivalent of `at` (MIBloomFilter.hpp:448-472): returns
     (values[..., h], ok[...], frame_saturated[...]) where ok marks frames
     with <= max_miss missing positions; values at missing slots are 0 and
-    saturation bits are stripped."""
+    saturation bits are stripped. Width-8 filters return values as a
+    :class:`U64` pair."""
     rank, hit = at_rank(mibf, hashes)
-    raw = jnp.where(hit, get_data(mibf, rank), 0)
     misses = jnp.sum((~hit).astype(jnp.int32), axis=-1)
     ok = misses <= max_miss
+    if mibf.data_width == 8:
+        z = jnp.uint32(0)
+        lo = jnp.where(hit, mibf.data[0][rank], z)
+        hi = jnp.where(hit, mibf.data[1][rank], z)
+        sat = _sat_u64(hi, lo)
+        vals = U64(jnp.where(sat, hi & jnp.uint32(ANTI_HI), hi), lo)
+        frame_saturated = jnp.all(hit & sat, axis=-1)
+        return vals, ok, frame_saturated
+    raw = jnp.where(hit, get_data(mibf, rank), 0)
     smask = jnp.asarray(mibf.s_mask, mibf.data.dtype)
     anti = jnp.asarray(mibf.s_anti_mask, mibf.data.dtype)
     sat = raw > smask
@@ -338,6 +381,11 @@ def saturate(mibf: MIBloomFilter, hashes: U64) -> MIBloomFilter:
     # the top bit — data | s_mask == max(data, data | s_mask) is NOT true in
     # general, so build a bit delta then OR.
     hasbit = jnp.zeros(mibf.d_size, bool).at[flat].set(True, mode="drop")
+    if mibf.data_width == 8:
+        hi = jnp.where(hasbit, mibf.data[1] | jnp.uint32(SAT_HI),
+                       mibf.data[1])
+        return dataclasses.replace(
+            mibf, data=jnp.stack([mibf.data[0], hi]))
     smask = jnp.asarray(mibf.s_mask, mibf.data.dtype)
     data = jnp.where(hasbit, mibf.data | smask, mibf.data)
     return dataclasses.replace(mibf, data=data)
@@ -346,7 +394,21 @@ def saturate(mibf: MIBloomFilter, hashes: U64) -> MIBloomFilter:
 def set_data(mibf: MIBloomFilter, rank: jax.Array, ids: jax.Array
              ) -> MIBloomFilter:
     """Overwrite IDs at ranks, preserving the saturation bit
-    (setData, MIBloomFilter.hpp:625-634). Later duplicates win."""
+    (setData, MIBloomFilter.hpp:625-634). Later duplicates win.
+    Width-8 filters take ``ids`` as a U64 pair (or uint32 low limbs)."""
+    if mibf.data_width == 8:
+        if isinstance(ids, U64):
+            ids_lo, ids_hi = ids.lo, ids.hi
+        else:
+            ids_lo = jnp.asarray(ids, jnp.uint32)
+            ids_hi = jnp.zeros_like(ids_lo)
+        keep_sat = mibf.data[1] & jnp.uint32(SAT_HI)
+        lo = mibf.data[0].at[rank].set(ids_lo, mode="drop")
+        hi = mibf.data[1].at[rank].set(ids_hi, mode="drop")
+        touched = jnp.zeros(mibf.d_size, bool).at[rank].set(
+            True, mode="drop")
+        hi = jnp.where(touched, hi | keep_sat, hi)
+        return dataclasses.replace(mibf, data=jnp.stack([lo, hi]))
     smask = jnp.asarray(mibf.s_mask, mibf.data.dtype)
     keep_sat = mibf.data & smask
     newvals = ids.astype(mibf.data.dtype)
@@ -366,17 +428,40 @@ def get_pop(mibf: MIBloomFilter) -> int:
 
 
 def get_pop_non_zero(mibf: MIBloomFilter) -> jax.Array:
+    if mibf.data_width == 8:
+        return jnp.sum(((mibf.data[0] | mibf.data[1]) != 0)
+                       .astype(jnp.uint32))
     return jnp.sum((mibf.data != 0).astype(jnp.uint32))
 
 
 def get_pop_saturated(mibf: MIBloomFilter) -> jax.Array:
+    if mibf.data_width == 8:
+        return jnp.sum(_sat_u64(mibf.data[1], mibf.data[0])
+                       .astype(jnp.uint32))
     smask = jnp.asarray(mibf.s_mask, mibf.data.dtype)
     return jnp.sum((mibf.data > smask).astype(jnp.uint32))
+
+
+def _hist_bins_u64(lo: jax.Array, hi_stripped: jax.Array,
+                   num_ids: int) -> jax.Array:
+    """Histogram bin indices for width-8 IDs: entries whose stripped value
+    does not fit the [0, num_ids) table land out of range (drop mode),
+    exactly as the reference's ``counts[id]`` would index past a table
+    sized for small IDs."""
+    oob = (hi_stripped != 0) | (lo >= jnp.uint32(num_ids))
+    return jnp.where(oob, jnp.uint32(num_ids), lo).astype(jnp.int32)
 
 
 def get_id_counts(mibf: MIBloomFilter, num_ids: int):
     """Histogram of stored IDs (getIDCounts, MIBloomFilter.hpp:539-551).
     Returns (counts[num_ids], saturated_count)."""
+    if mibf.data_width == 8:
+        lo, hi = mibf.data[0], mibf.data[1]
+        sat = _sat_u64(hi, lo)
+        hs = jnp.where(sat, hi & jnp.uint32(ANTI_HI), hi)
+        ids = _hist_bins_u64(lo, hs, num_ids)
+        counts = jnp.zeros(num_ids, jnp.uint32).at[ids].add(1, mode="drop")
+        return counts, jnp.sum(sat.astype(jnp.uint32))
     smask = jnp.asarray(mibf.s_mask, mibf.data.dtype)
     anti = jnp.asarray(mibf.s_anti_mask, mibf.data.dtype)
     sat = mibf.data > smask
@@ -388,6 +473,14 @@ def get_id_counts(mibf: MIBloomFilter, num_ids: int):
 def get_id_counts_strand(mibf: MIBloomFilter, num_ids: int):
     """getIDCountsStrand (MIBloomFilter.hpp:557-569): strips strand bit for
     saturated entries via s_idMask, strand via s_antiStrand otherwise."""
+    if mibf.data_width == 8:
+        lo, hi = mibf.data[0], mibf.data[1]
+        sat = _sat_u64(hi, lo)
+        hs = jnp.where(sat, hi & jnp.uint32(ID_HI),
+                       hi & jnp.uint32(~STRAND_HI & 0xFFFFFFFF))
+        ids = _hist_bins_u64(lo, hs, num_ids)
+        counts = jnp.zeros(num_ids, jnp.uint32).at[ids].add(1, mode="drop")
+        return counts, jnp.sum(sat.astype(jnp.uint32))
     smask = jnp.asarray(mibf.s_mask, mibf.data.dtype)
     idm = jnp.asarray(mibf.s_id_mask, mibf.data.dtype)
     width_mask = (1 << (8 * mibf.data_width)) - 1

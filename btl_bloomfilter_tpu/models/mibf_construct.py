@@ -258,22 +258,35 @@ def reservoir_core(data: jax.Array, counts: jax.Array, rank: jax.Array,
 
     c0 = counts[jnp.clip(rank_o, 0, max(d_size - 1, 0))].astype(jnp.uint32)
     c0 = jnp.where(keep_o, c0, 0)
-    count_val = (c0 + within.astype(jnp.uint32) + 1) & jnp.uint32(
-        (1 << width_bits) - 1)
+    if width_bits >= 64:
+        # uint64 T: the occurrence count wraps mod 2**64 in the reference
+        # — unreachable here (counts are uint32, wrap at 2**32, itself
+        # beyond any realistic per-rank occurrence total)
+        count_val = c0 + within.astype(jnp.uint32) + 1
+    else:
+        count_val = (c0 + within.astype(jnp.uint32) + 1) & jnp.uint32(
+            (1 << width_bits) - 1)
 
     # std::hash<T>(v ^ id): identity after truncation to T
     # (MIBFConstructSupport.hpp:122-125; libstdc++ integral hash).
-    # IDs are T-width (< 2**32) so only the low limb is affected;
+    # For widths <= 4 IDs are T-width (< 2**32) so only the low limb is
+    # affected; width 8 XORs and reduces the full 64-bit value.
     # id_value may be a python int or a traced scalar.
-    id32 = jnp.asarray(id_value, jnp.uint32)
-    vx_lo = lo_o ^ id32
-    if width_bits >= 32:
-        hval = vx_lo  # T is uint32: low limb
-    else:
-        hval = vx_lo & jnp.uint32((1 << width_bits) - 1)
     safe_count = jnp.maximum(count_val, 1)
-    accepted = keep_o & (count_val != 0) & (
-        (hval % safe_count) == (count_val - 1))
+    if width_bits >= 64:
+        idi = int(id_value)
+        vx = U64(hi_o ^ jnp.uint32((idi >> 32) & 0xFFFFFFFF),
+                 lo_o ^ jnp.uint32(idi & 0xFFFFFFFF))
+        hmod = u64.mod_u32(vx, safe_count)
+    else:
+        id32 = jnp.asarray(id_value, jnp.uint32)
+        vx_lo = lo_o ^ id32
+        if width_bits >= 32:
+            hval = vx_lo  # T is uint32: low limb
+        else:
+            hval = vx_lo & jnp.uint32((1 << width_bits) - 1)
+        hmod = hval % safe_count
+    accepted = keep_o & (count_val != 0) & (hmod == (count_val - 1))
 
     # last accepted within each group wins (later setData overwrites)
     win_idx = _blocked_scan(jnp.maximum, jnp.where(accepted, idx, -1), -1)
@@ -290,18 +303,33 @@ def reservoir_core(data: jax.Array, counts: jax.Array, rank: jax.Array,
     winner = accepted & (seg_max[group_start] == idx)
 
     ranks_to_set = jnp.where(winner, rank_o, jnp.int32(d_size))
-    ids = jnp.full(n, 0, data.dtype) + jnp.asarray(id_value, data.dtype)
     # setData semantics: overwrite ID, preserve saturation bit
     # (MIBloomFilter.hpp:625-634); later duplicates win
-    smask = jnp.asarray((1 << (width_bits - 1)), jnp.uint32).astype(data.dtype)
-    keep_sat = data & smask
-    data = data.at[ranks_to_set].set(ids, mode="drop")
-    touched = jnp.zeros(data.shape[0], bool).at[ranks_to_set].set(
-        True, mode="drop")
-    data = jnp.where(touched, data | keep_sat, data)
+    if width_bits >= 64:
+        idi = int(id_value)
+        id_lo = jnp.uint32(idi & 0xFFFFFFFF)
+        id_hi = jnp.uint32((idi >> 32) & 0xFFFFFFFF)
+        keep_sat = data[1] & jnp.uint32(mibf_mod.SAT_HI)
+        lo = data[0].at[ranks_to_set].set(id_lo, mode="drop")
+        hi = data[1].at[ranks_to_set].set(id_hi, mode="drop")
+        touched = jnp.zeros(lo.shape[0], bool).at[ranks_to_set].set(
+            True, mode="drop")
+        hi = jnp.where(touched, hi | keep_sat, hi)
+        data = jnp.stack([lo, hi])
+        nranks = lo.shape[0]
+    else:
+        ids = jnp.full(n, 0, data.dtype) + jnp.asarray(id_value, data.dtype)
+        smask = jnp.asarray((1 << (width_bits - 1)),
+                            jnp.uint32).astype(data.dtype)
+        keep_sat = data & smask
+        data = data.at[ranks_to_set].set(ids, mode="drop")
+        touched = jnp.zeros(data.shape[0], bool).at[ranks_to_set].set(
+            True, mode="drop")
+        data = jnp.where(touched, data | keep_sat, data)
+        nranks = data.shape[0]
 
     # counts[rank] += group_size for each touched rank (wraps in T)
-    add = jnp.zeros(data.shape[0], jnp.uint32).at[rank_o].add(
+    add = jnp.zeros(nranks, jnp.uint32).at[rank_o].add(
         keep_o.astype(jnp.uint32), mode="drop", indices_are_sorted=True)
     counts = (counts.astype(jnp.uint32) + add).astype(counts.dtype)
     return data, counts
@@ -380,6 +408,63 @@ def _phase4_step_fn(d_size: int, data_width: int, id_value):
     return step
 
 
+def _phase4_step_fn_u64(d_size: int, id_value):
+    """Width-8 (uint64 T) twin of :func:`_phase4_step_fn` on dual uint32
+    data planes (setSatIfMissing, MIBFConstructSupport.hpp:168-214);
+    carry = (data uint32[2, d_size], counts uint32[d_size])."""
+    idi = int(id_value)
+    sat_hi = jnp.uint32(mibf_mod.SAT_HI)
+    anti_hi = jnp.uint32(mibf_mod.ANTI_HI)
+
+    def step(carry, inp):
+        data, cnts = carry
+        idv_lo = jnp.uint32(idi & 0xFFFFFFFF)
+        idv_hi = jnp.uint32((idi >> 32) & 0xFFFFFFFF)
+        rk, ok = inp
+        h = rk.shape[0]
+        rk = jnp.clip(rk, 0, max(d_size - 1, 0))
+        lo = data[0][rk]
+        hi = data[1][rk]
+        cur_lo = lo
+        cur_hi = hi & anti_hi
+        value_found = jnp.any((cur_lo == idv_lo) & (cur_hi == idv_hi))
+
+        iota = jnp.arange(h)
+        eq = (cur_lo[None, :] == cur_lo[:, None]) & \
+            (cur_hi[None, :] == cur_hi[:, None])
+        is_zero = (cur_lo | cur_hi) == 0
+        same_earlier = eq & (iota[None, :] < iota[:, None])
+        in_seen = is_zero | jnp.any(same_earlier, axis=1)
+        in_repl = is_zero | jnp.any(
+            in_seen[None, :] & eq, axis=1)
+
+        slot_counts = cnts[rk].astype(jnp.uint32)
+        qual = in_repl & (slot_counts > 0)
+        score = jnp.where(qual, slot_counts, 0)
+        best = jnp.max(score)
+        has_repl = best > 0
+        first_best = jnp.argmax(score == best)
+        repl_rank = rk[first_best]
+
+        do_mutate = ok & ~value_found & has_repl
+        do_saturate = ok & ~value_found & ~has_repl
+
+        old_sat = mibf_mod._sat_u64(data[1][repl_rank], data[0][repl_rank])
+        new_hi = jnp.where(old_sat, idv_hi | sat_hi, idv_hi)
+        dlo = data[0].at[repl_rank].set(
+            jnp.where(do_mutate, idv_lo, data[0][repl_rank]))
+        dhi = data[1].at[repl_rank].set(
+            jnp.where(do_mutate, new_hi, data[1][repl_rank]))
+        cnts = cnts.at[repl_rank].add(
+            jnp.where(do_mutate, 1, 0).astype(cnts.dtype))
+
+        sat_hi_vals = jnp.where(do_saturate, dhi[rk] | sat_hi, dhi[rk])
+        dhi = dhi.at[rk].set(sat_hi_vals)
+        return (jnp.stack([dlo, dhi]), cnts), None
+
+    return step
+
+
 def insert_saturation_sequential(m: MIBloomFilter, counts: jax.Array,
                                  hashes: U64, id_value: int, valid=None):
     """Phase 4: per-frame saturation with ID-mutation rescue
@@ -387,7 +472,10 @@ def insert_saturation_sequential(m: MIBloomFilter, counts: jax.Array,
     frames via lax.scan. Kept as the oracle for the batched
     :func:`insert_saturation`. Returns (mibf, counts)."""
     rk, v = _phase4_ranks(m, hashes, valid)
-    step = _phase4_step_fn(m.d_size, m.data_width, id_value)
+    if m.data_width == 8:
+        step = _phase4_step_fn_u64(m.d_size, id_value)
+    else:
+        step = _phase4_step_fn(m.d_size, m.data_width, id_value)
     (data, counts), _ = jax.lax.scan(step, (m.data, counts), (rk, v))
     return dataclasses.replace(m, data=data), counts
 
@@ -401,7 +489,9 @@ def saturation_ranks(data: jax.Array, counts: jax.Array, rk: jax.Array,
     frames masked by ``v`` bool[n]) to the (data, counts) planes,
     bit-identical to stream order. Shared by the single-device path and
     the mesh-resident distributed path (parallel/dist_mibf.py), which
-    runs it on a compacted table of the touched ranks only.
+    runs it on a compacted table of the touched ranks only. Widths
+    1/2/4 only (width 8 routes through the sequential u64 scan in
+    :func:`insert_saturation`).
 
     Decomposition (the counting-filter group-collapse applied to phase 4):
 
@@ -546,7 +636,14 @@ def insert_saturation(m: MIBloomFilter, counts: jax.Array, hashes: U64,
     """Phase 4 (setSatIfMissing, MIBFConstructSupport.hpp:168-214),
     batched-exact: group collapse + entangled replay (see
     :func:`saturation_ranks`), bit-identical to the per-frame scan mirror
-    :func:`insert_saturation_sequential`. Returns (mibf, counts)."""
+    :func:`insert_saturation_sequential`. Returns (mibf, counts).
+
+    Width-8 filters run the sequential mirror (the rare uint64-ID
+    instantiation trades the batched fast path for the dual-plane exact
+    scan)."""
+    if m.data_width == 8:
+        return insert_saturation_sequential(m, counts, hashes, id_value,
+                                            valid)
     rk, v = _phase4_ranks(m, hashes, valid)
     if rk.shape[0] <= 2:
         return insert_saturation_sequential(m, counts, hashes, id_value,
@@ -571,9 +668,16 @@ def insert_random_order(m: MIBloomFilter, hashes_np: np.ndarray,
 
     This path is sequential and data-dependent by construction (the
     reference uses it for incremental single-k-mer inserts); it runs on
-    host against materialized arrays.
+    host against materialized arrays. All data widths including 8
+    (uint64 T) are supported — width 8 reassembles/splits the dual
+    uint32 planes around a uint64 host array.
     """
-    data = np.asarray(m.data).copy()
+    if m.data_width == 8:
+        planes = np.asarray(m.data)
+        data = (planes[0].astype(np.uint64)
+                | (planes[1].astype(np.uint64) << np.uint64(32)))
+    else:
+        data = np.asarray(m.data).copy()
     bv = np.asarray(m.bv_words)
     cum = np.asarray(m.cum_ranks)
     width = 8 * m.data_width
@@ -648,7 +752,12 @@ def insert_random_order(m: MIBloomFilter, hashes_np: np.ndarray,
                     results.append(False)
                 else:
                     results.append(True)
-    m = dataclasses.replace(m, data=jnp.asarray(data))
+    if m.data_width == 8:
+        out = np.stack([(data & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                        (data >> np.uint64(32)).astype(np.uint32)])
+        m = dataclasses.replace(m, data=jnp.asarray(out))
+    else:
+        m = dataclasses.replace(m, data=jnp.asarray(data))
     return m, np.array(results, dtype=bool)
 
 
@@ -727,7 +836,12 @@ def insert_random_order_device(m: MIBloomFilter, hashes: U64, id_value: int,
     lax.scan over frames (bit-identical to the host mirror
     insert_random_order, which is itself golden-verified). Supports the
     strand-aware overload (MIBloomFilter.hpp:312-373) via ``strand``
-    bool[..., h]. Returns (mibf, success bool[...])."""
+    bool[..., h]. Returns (mibf, success bool[...]). Widths 1/2/4 only
+    (width 8 uses the host mirror)."""
+    if m.data_width == 8:
+        raise NotImplementedError(
+            "width-8 random-order insert: use the host mirror "
+            "insert_random_order (dual-plane device scan not implemented)")
     h = hashes.hi.shape[-1]
     pos = mibf_mod.positions(m, hashes).reshape(-1, h)
     n = pos.shape[0]

@@ -291,6 +291,23 @@ def divmod_const(v: U64, m: int):
     return q, r
 
 
+def mod_u32(v: U64, c: jax.Array) -> jax.Array:
+    """v % c for a TRACED uint32 divisor, 1 <= c < 2**31 (elementwise).
+
+    Folds the high limb with one 32-bit `%`, then absorbs the low limb's
+    32 bits by shift-subtract (r stays < c < 2**31, so the shift never
+    overflows uint32). Used by the width-8 MIBF reservoir arithmetic,
+    whose acceptance test is ``std::hash<uint64_t>(v ^ id) % count``
+    with a data-dependent count (MIBFConstructSupport.hpp:122-128)."""
+    c = c.astype(jnp.uint32)
+    r = v.hi % c
+    for i in range(31, -1, -1):
+        b = (v.lo >> jnp.uint32(i)) & jnp.uint32(1)
+        r = (r << jnp.uint32(1)) | b
+        r = jnp.where(r >= c, r - c, r)
+    return r
+
+
 def mod_to_index(v: U64, m: int) -> jax.Array:
     """v % m returned as a int32/uint32-addressable index.
 

@@ -360,10 +360,13 @@ def sharded_insert(mesh: Mesh, scbf: ShardedCountingBloomFilter,
 
         # 4. replicated exact decomposition on the compact uint32 table
         # (per_word=1: one uint32-addressed counter per word; the width's
-        # counter_max keeps increment/freeze semantics exact)
+        # counter_max keeps increment/freeze semantics exact).
+        # use_kernel=False: the Mosaic kernels have no hardware equality
+        # check under shard_map (CI is CPU; chip_check is single-device),
+        # and the compact table is small enough that XLA is fine here.
         new_table = counting_mod.insert_positions(
             table, uid.reshape(n, h), vv, scbf.counter_max, T, 1,
-            max_entangled)
+            max_entangled, use_kernel=False)
 
         # 5. write back my entries
         dest = jnp.where(mine, lpos, jnp.uint32(shard_size))

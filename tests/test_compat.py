@@ -113,6 +113,11 @@ def test_mibf_facade_full_pipeline(tmp_path):
     pos, ev, ids, sat_pat = qs.getMatchSignature(hashes[:30])
     assert ev == 30 and len(pos) == 30  # all frames were inserted
 
+    # calcSat on the facade (MIBFQuerySupport.hpp:544-553; VERDICT r4 #8)
+    assert qs.calcSat(10, 0.2, 0) == 0.0
+    from btl_bloomfilter_tpu.utils import binomial
+    assert qs.calcSat(10, 0.2, 3) == binomial.calc_sat(10, 0.2, 3)
+
     # store/load round trip + random-order insert entry point
     p = str(tmp_path / "facade.mibf")
     m.store(p)

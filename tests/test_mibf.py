@@ -48,8 +48,10 @@ class PyMIBF:
     def freeze(self):
         self.cum = np.concatenate([[0], np.cumsum(self.bits)])
         self.d_size = int(self.bits.sum())
-        self.data = np.zeros(self.d_size, dtype=np.int64)
-        self.counts = np.zeros(self.d_size, dtype=np.int64)
+        # object dtype: exact python-int arithmetic at every width
+        # (width_bits=64 masks overflow int64)
+        self.data = np.zeros(self.d_size, dtype=object)
+        self.counts = np.zeros(self.d_size, dtype=object)
         self.frozen = True
 
     def rank(self, pos):
@@ -425,6 +427,21 @@ def test_sdsl_loader_convention_tolerance(trailing, sample_pad, convention):
                      struct.unpack_from("<Q", bad, toff)[0] + 1)
     with pytest.raises(ValueError):
         sdsl_io.deserialize_bit_vector_il(bytes(bad))
+
+
+def test_sdsl_loader_rejects_cut_short_sample_tree():
+    """A rank-sample vector shorter than tree-size-minus-one is a
+    corrupt/cut-short file, not a convention variant (ADVICE r4):
+    only the exact one-fewer length is accepted as 'truncated'."""
+    from btl_bloomfilter_tpu.io import sdsl as sdsl_io
+
+    rng = np.random.default_rng(11)
+    size_bits = 8192
+    bits = rng.integers(0, 1 << 32, size=size_bits // 32, dtype=np.uint32)
+    base = sdsl_io.serialize_bit_vector_il(bits, size_bits)
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        sdsl_io.deserialize_bit_vector_il(
+            _sdsl_variant(base, sample_pad=-2))
 
 
 def test_insert_bv_colli_batched_matches_sequential():

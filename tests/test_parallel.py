@@ -528,3 +528,71 @@ def test_sharded_counting_beyond_2_32_counters(mesh):
     plane2 = np.asarray(scbf2.counters).reshape(-1)
     for p0, c in occ.items():
         assert plane2[p0] == model[p0] + c, (p0, plane2[p0], model[p0], c)
+
+
+def test_sharded_mibf_beyond_2_32_bits(mesh):
+    """A sharded MIBF bit vector larger than 2**32 bits (the P * 2**32
+    capacity lift, parallel/dist_mibf.py docstring; MIBloomFilter.hpp
+    size_t sizing :84-88): build + reservoir-insert + rank/ID query all
+    route via two-limb (owner, local) splits. Verified against the exact
+    u64 position model: only inserted bits are set, so the global rank of
+    a position equals the count of unique inserted positions strictly
+    below it (VERDICT r4 next #6)."""
+    from btl_bloomfilter_tpu.models import mibf_construct
+    from btl_bloomfilter_tpu.parallel import dist_mibf
+
+    size = (1 << 32) + 2048          # multiple of p * 32 = 256
+    h = 3
+    n = 160
+    idv = 6
+    rng = np.random.default_rng(55)
+    vals = np.concatenate([
+        rng.integers(0, 1 << 32, size=(n // 2, h), dtype=np.uint64),
+        rng.integers(1 << 32, size, size=(n // 2, h), dtype=np.uint64)])
+    vals[n // 2: n // 2 + 4] = vals[:4]          # repeated frames
+    hashes = u64.from_numpy(vals.reshape(n, 1, h))
+
+    bv_words = jnp.zeros((8, size // 8 // 32), jnp.uint32)
+    bv_words = dist_mibf.insert_bv(mesh, bv_words, size, hashes)
+    m = dist_mibf.freeze(mesh, bv_words, size, h, 11)
+    assert m.size > (1 << 32)
+
+    # exact u64 position model: rank(pos) = #unique inserted positions < pos
+    pos_all = sorted({int(x) % size for x in vals.reshape(-1)})
+    assert m.d_size == len(pos_all)
+    pos_index = {p0: i for i, p0 in enumerate(pos_all)}
+
+    m = dist_mibf.insert_mibf(mesh, m, hashes, idv)
+
+    # host reservoir model in the framework's sorted-by-value order
+    import collections
+    counts_model = collections.Counter()
+    data_model = {}
+    for v in sorted({int(x) for x in vals.reshape(-1)}):
+        rk = pos_index[v % size]
+        counts_model[rk] += 1
+        c = counts_model[rk]
+        if ((v ^ idv) & 0xFFFF) % c == c - 1:    # width 2 default
+            data_model[rk] = idv
+
+    rank, hit, raw = dist_mibf.at_rank_data(mesh, m, hashes)
+    assert np.asarray(hit).all()
+    rk_np = np.asarray(rank).reshape(n, h)
+    for i, row in enumerate(vals):
+        for j, x in enumerate(row):
+            assert rk_np[i, j] == pos_index[int(x) % size]
+    raw_np = np.asarray(raw).reshape(n, h)
+    for i, row in enumerate(vals):
+        for j, x in enumerate(row):
+            rk = pos_index[int(x) % size]
+            assert raw_np[i, j] == data_model.get(rk, 0)
+
+    # probes at uninserted positions miss
+    probes = rng.integers(0, size, size=(32, h), dtype=np.uint64)
+    inserted = {int(x) % size for x in vals.reshape(-1)}
+    _, hit2, _ = dist_mibf.at_rank_data(
+        mesh, m, u64.from_numpy(probes.reshape(32, 1, h)))
+    hit2 = np.asarray(hit2).reshape(32, h)
+    for i, row in enumerate(probes):
+        for j, x in enumerate(row):
+            assert hit2[i, j] == (int(x) % size in inserted)
