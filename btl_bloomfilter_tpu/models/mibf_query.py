@@ -74,7 +74,8 @@ def _compare_std_err_host(a: float, b: float) -> bool:
 
 def query_scan(m: MIBloomFilter, frame_raw: jax.Array, frame_hit: jax.Array,
                frame_valid: jax.Array, frame_misses: jax.Array,
-               min_count: jax.Array, num_ids: int, extra_frame_limit: int):
+               min_count: jax.Array, num_ids: int, extra_frame_limit: int,
+               frame_eval: jax.Array | None = None, st_mode: bool = False):
     """Run the sequential per-frame bookkeeping over one read's frames.
 
     frame_raw   uint32 [W, h]  data[rank] values (0 where not hit), with
@@ -82,9 +83,18 @@ def query_scan(m: MIBloomFilter, frame_raw: jax.Array, frame_hit: jax.Array,
                                mibf.at_rank_data so the scan itself touches
                                no large array
     frame_hit   bool  [W, h]   bit-vector hits per slot
-    frame_valid bool  [W]      frame enters the loop at all (iterator order)
+    frame_valid bool  [W]      frame enters the engine (iterator-yielded
+                               AND within max_miss)
     frame_misses int32 [W]     misses per frame (0 for plain k-mer path)
     min_count   int32 [num_ids] per-ID promotion threshold
+    frame_eval  bool [W]       frames adding +1 to evalCount: the nt path
+                               bumps per ITERATOR-YIELDED frame even when
+                               the frame misses (MIBFQuerySupport.hpp:415),
+                               the st path has no per-frame bump (:397-406,
+                               only per-hit bumps inside updatesCounts).
+                               Default: frame_valid (nt) / none (st).
+    st_mode     bool           spaced-seed path (selects the frame_eval
+                               default).
 
     Returns dict of arrays: counts [num_ids, 6], candidate mask [num_ids],
     best counts [6], sat_count, eval_count.
@@ -93,10 +103,13 @@ def query_scan(m: MIBloomFilter, frame_raw: jax.Array, frame_hit: jax.Array,
     dtype = jnp.int32
     smask = jnp.asarray(m.s_mask, jnp.uint32)
     anti = jnp.asarray(m.s_anti_mask, jnp.uint32)
+    if frame_eval is None:
+        frame_eval = jnp.zeros_like(frame_valid) if st_mode \
+            else frame_valid
 
     def step(carry, inp):
         counts, cand, best, second_best, extra_frame, stopped, satc, evalc = carry
-        raw, hit, valid, misses = inp
+        raw, hit, valid, misses, ev = inp
 
         active = valid & ~stopped
 
@@ -172,7 +185,8 @@ def query_scan(m: MIBloomFilter, frame_raw: jax.Array, frame_hit: jax.Array,
                     jnp.where(ok & (c[col] > best[col]), c[col], best[col]))
 
         satc = satc + jnp.where(active & frame_has_sat, 1, 0)
-        evalc = evalc + jnp.where(active, jnp.sum(hit.astype(dtype)) + 1, 0)
+        evalc = (evalc + jnp.where(ev & ~stopped, 1, 0)
+                 + jnp.where(active, jnp.sum(hit.astype(dtype)), 0))
 
         # early-exit bookkeeping (MIBFQuerySupport.hpp:509-517); note the
         # reference compares totalNonSatCount against
@@ -192,7 +206,7 @@ def query_scan(m: MIBloomFilter, frame_raw: jax.Array, frame_hit: jax.Array,
             jnp.asarray(False), jnp.int32(0), jnp.int32(0))
     (counts, cand, best, second_best, _extra, _stopped, satc, evalc), _ = \
         jax.lax.scan(step, init, (frame_raw, frame_hit, frame_valid,
-                                  frame_misses))
+                                  frame_misses, frame_eval))
     return {"counts": counts, "candidates": cand, "best": best,
             "sat_count": satc, "eval_count": evalc}
 
@@ -210,23 +224,28 @@ def prep_frames(m: MIBloomFilter, hashes: U64, valid, max_miss: int):
 
 
 def query_device(m: MIBloomFilter, hashes: U64, valid, min_count: jax.Array,
-                 max_miss: int, num_ids: int, extra_frame_limit: int):
+                 max_miss: int, num_ids: int, extra_frame_limit: int,
+                 st_mode: bool = False):
     """Single-read classification, hashes U64[W, h] -> count tables.
     One jittable graph: rank/ID gathers + the sequential frame scan."""
     raw, hit, usable, misses = prep_frames(m, hashes, valid, max_miss)
+    ev = None if st_mode else jnp.asarray(valid)
     return query_scan(m, raw, hit, usable, misses, min_count,
-                      num_ids, extra_frame_limit)
+                      num_ids, extra_frame_limit, frame_eval=ev,
+                      st_mode=st_mode)
 
 
 def query_device_batch(m: MIBloomFilter, hashes: U64, valid,
                        min_count: jax.Array, max_miss: int, num_ids: int,
-                       extra_frame_limit: int):
+                       extra_frame_limit: int, st_mode: bool = False):
     """Batched classification, hashes U64[R, W, h]: the rank/ID gathers
     run over all R*W*h positions in one kernel pass; the per-read scans
     are vmapped."""
     raw, hit, usable, misses = prep_frames(m, hashes, valid, max_miss)
+    ev = None if st_mode else jnp.asarray(valid)
     return query_scan_batch(m, raw, hit, usable, misses, min_count,
-                            num_ids, extra_frame_limit)
+                            num_ids, extra_frame_limit, frame_eval=ev,
+                            st_mode=st_mode)
 
 
 def interleave_paired_frames(fr1, fr2, valid1, valid2):
@@ -241,8 +260,9 @@ def interleave_paired_frames(fr1, fr2, valid1, valid2):
 
     fr1/fr2 are tuples (raw, hit, usable, misses) shaped [R, W, h] /
     [R, W]; valid marks iterator-yielded frames. Returns interleaved
-    (raw, hit, usable, misses) with W1+W2 slots per read pair (dead slots
-    masked invalid)."""
+    (raw, hit, usable, misses, live) with W1+W2 slots per read pair
+    (dead slots masked invalid); ``live`` marks slots carrying a yielded
+    frame — the per-frame evalCount bumps of the nt path."""
     raw1, hit1, u1, mi1 = fr1
     raw2, hit2, u2, mi2 = fr2
     v1 = jnp.asarray(valid1)
@@ -279,37 +299,47 @@ def interleave_paired_frames(fr1, fr2, valid1, valid2):
     hit = pick3(hit1, hit2)
     usable = pick(u1, u2) & live
     misses = jnp.where(live, pick(mi1, mi2), jnp.int32(0))
-    return raw, hit, usable, misses
+    return raw, hit, usable, misses, live
 
 
 def query_paired_device_batch(m: MIBloomFilter, hashes1: U64, valid1,
                               hashes2: U64, valid2, min_count: jax.Array,
                               max_miss: int, num_ids: int,
-                              extra_frame_limit: int):
+                              extra_frame_limit: int, st_mode: bool = False):
     """Batched paired-end classification, hashes U64[R, W, h] per end:
     rank/ID gathers for both ends ride one fused dispatch, the interleave
     is computed on device, and the per-pair scans are vmapped."""
     fr1 = prep_frames(m, hashes1, valid1, max_miss)
     fr2 = prep_frames(m, hashes2, valid2, max_miss)
-    raw, hit, usable, misses = interleave_paired_frames(
+    raw, hit, usable, misses, live = interleave_paired_frames(
         fr1, fr2, valid1, valid2)
+    ev = None if st_mode else live
     return query_scan_batch(m, raw, hit, usable, misses, min_count,
-                            num_ids, extra_frame_limit)
+                            num_ids, extra_frame_limit, frame_eval=ev,
+                            st_mode=st_mode)
 
 
 def query_scan_batch(m: MIBloomFilter, frame_raw: jax.Array,
                      frame_hit: jax.Array, frame_valid: jax.Array,
                      frame_misses: jax.Array, min_count: jax.Array,
-                     num_ids: int, extra_frame_limit: int):
+                     num_ids: int, extra_frame_limit: int,
+                     frame_eval: jax.Array | None = None,
+                     st_mode: bool = False):
     """vmap of :func:`query_scan` over a batch of reads (leading R axis on
     the frame arrays). One dispatch classifies R reads; count tables are
     [R, num_ids, 6]. Semantics per read are identical to the sequential
     engine (the scan carry is per-read)."""
+    if frame_eval is None:
+        frame_eval = jnp.zeros_like(frame_valid) if st_mode \
+            else frame_valid
+    # frame_eval rides as a kwarg: vmap maps keyword args over axis 0
     return jax.vmap(
         functools.partial(query_scan, num_ids=num_ids,
-                          extra_frame_limit=extra_frame_limit),
+                          extra_frame_limit=extra_frame_limit,
+                          st_mode=st_mode),
         in_axes=(None, 0, 0, 0, 0, None))(
-        m, frame_raw, frame_hit, frame_valid, frame_misses, min_count)
+        m, frame_raw, frame_hit, frame_valid, frame_misses, min_count,
+        frame_eval=frame_eval)
 
 
 # ---------------------------------------------------------------------------
@@ -447,7 +477,8 @@ class MIBFQuerySupport:
         if fn is None:
             fn = jax.jit(functools.partial(
                 query_device, max_miss=self.max_miss, num_ids=num_ids,
-                extra_frame_limit=self.extra_frame_limit))
+                extra_frame_limit=self.extra_frame_limit,
+                st_mode=bool(self.m.sseeds)))
             self._jit_cache[key] = fn
         out = fn(self.m, hashes, jnp.asarray(valid),
                  jnp.asarray(min_count_vec, jnp.int32))
@@ -473,7 +504,8 @@ class MIBFQuerySupport:
             fn = jax.jit(functools.partial(
                 query_device_batch, max_miss=self.max_miss,
                 num_ids=num_ids,
-                extra_frame_limit=self.extra_frame_limit))
+                extra_frame_limit=self.extra_frame_limit,
+                st_mode=bool(self.m.sseeds)))
             self._jit_cache[key] = fn
         out = fn(self.m, hashes, jnp.asarray(valid),
                  jnp.asarray(min_count_vec, jnp.int32))
@@ -511,7 +543,8 @@ class MIBFQuerySupport:
             fn = jax.jit(functools.partial(
                 query_paired_device_batch, max_miss=self.max_miss,
                 num_ids=num_ids,
-                extra_frame_limit=self.extra_frame_limit))
+                extra_frame_limit=self.extra_frame_limit,
+                st_mode=bool(self.m.sseeds)))
             self._jit_cache[key] = fn
         out = fn(self.m, hashes1, jnp.asarray(valid1), hashes2,
                  jnp.asarray(valid2), jnp.asarray(min_count_vec, jnp.int32))

@@ -524,19 +524,27 @@ class ShardedMIBFQuerySupport:
 
     _jit_cache: dict = dataclasses.field(default_factory=dict)
 
-    def _scan_and_summarize(self, raw, hit, usable, misses, min_count_vec):
+    def _scan_and_summarize(self, raw, hit, usable, misses, min_count_vec,
+                            frame_eval=None):
         from ..models import mibf_query as mq
         num_ids = len(self.per_frame_prob)
-        key = (raw.shape, num_ids)
+        st_mode = bool(getattr(self.m, "sseeds", ()) or ())
+        key = (raw.shape, num_ids, frame_eval is not None)
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(partial(mq.query_scan_batch, num_ids=num_ids,
-                                 extra_frame_limit=self.extra_frame_limit))
+                                 extra_frame_limit=self.extra_frame_limit,
+                                 st_mode=st_mode))
             self._jit_cache[key] = fn
         # query_scan only reads s_mask/s_anti_mask from the filter pytree;
         # the sharded arrays are dead inputs XLA removes
-        out = fn(self.m, raw, hit, usable, misses,
-                 jnp.asarray(min_count_vec, jnp.int32))
+        if frame_eval is None:
+            out = fn(self.m, raw, hit, usable, misses,
+                     jnp.asarray(min_count_vec, jnp.int32))
+        else:
+            out = fn(self.m, raw, hit, usable, misses,
+                     jnp.asarray(min_count_vec, jnp.int32),
+                     frame_eval=jnp.asarray(frame_eval))
         counts = np.asarray(out["counts"])
         cands = np.asarray(out["candidates"])
         bests = np.asarray(out["best"])
@@ -554,7 +562,8 @@ class ShardedMIBFQuerySupport:
         raw, hit, usable, misses = prep_frames(self.mesh, self.m, hashes,
                                                valid, self.max_miss)
         return self._scan_and_summarize(raw, hit, usable, misses,
-                                        min_count_vec)
+                                        min_count_vec,
+                                        frame_eval=jnp.asarray(valid))
 
     def query_paired_many(self, hashes1: U64, valid1, hashes2: U64, valid2,
                           min_count_vec):
@@ -564,7 +573,7 @@ class ShardedMIBFQuerySupport:
         from ..models import mibf_query as mq
         fr1 = prep_frames(self.mesh, self.m, hashes1, valid1, self.max_miss)
         fr2 = prep_frames(self.mesh, self.m, hashes2, valid2, self.max_miss)
-        raw, hit, usable, misses = mq.interleave_paired_frames(
+        raw, hit, usable, misses, live = mq.interleave_paired_frames(
             fr1, fr2, valid1, valid2)
         return self._scan_and_summarize(raw, hit, usable, misses,
-                                        min_count_vec)
+                                        min_count_vec, frame_eval=live)

@@ -19,7 +19,8 @@ class PyQuery:
     """Line-by-line mirror of updatesCounts/updateMaxCounts/summarize."""
 
     def __init__(self, size, h, data, cum, per_frame_prob, extra_count,
-                 extra_frame_limit, min_count, best_hit_agree, s_mask):
+                 extra_frame_limit, min_count, best_hit_agree, s_mask,
+                 bits=None):
         self.size = size
         self.h = h
         self.data = data
@@ -31,6 +32,9 @@ class PyQuery:
         self.bha = best_hit_agree
         self.s_mask = s_mask
         self.s_anti = s_mask - 1
+        self.bits = bits               # bool[size]; None = every bit set
+        self.eval_count = 0
+        self.sat_frames = 0
 
     def rank(self, pos):
         return int(self.cum[pos])
@@ -42,7 +46,12 @@ class PyQuery:
             return (a - sa) <= (b + sb)
         return (b - sb) <= (a + sa)
 
-    def query(self, frames, min_count):
+    def query(self, frames, min_count, max_miss=0, st_mode=False):
+        """Sequential mirror of the query loop + updatesCounts, including
+        the miss-tolerant path (MIBFQuerySupport.hpp:430-518: only HIT
+        slots are read, solid bumps only at misses==0) and the two
+        evalCount conventions (nt: +1 per yielded frame even on a miss,
+        :415; st: per-hit bumps only, :397-406)."""
         numid = len(self.pfp)
         counts = [dict(count=0, nonSat=0, total=0, totalNonSat=0,
                        nsf=0, solid=0) for _ in range(numid)]
@@ -50,9 +59,20 @@ class PyQuery:
         best = dict(count=0, nonSat=0, total=0, totalNonSat=0, nsf=0, solid=0)
         second = 0
         extra = 0
+        self.eval_count = 0
+        self.sat_frames = 0
         for row in frames:
-            rk = [self.rank(int(hv) % self.size) for hv in row]
+            if not st_mode:
+                self.eval_count += 1
+            pos = [int(hv) % self.size for hv in row]
+            hits = [True if self.bits is None else bool(self.bits[p])
+                    for p in pos]
+            misses = sum(1 for x in hits if not x)
+            if misses > max_miss:
+                continue
+            rk = [self.rank(p) for p, hv in zip(pos, hits) if hv]
             raws = [int(self.data[r]) for r in rk]
+            self.eval_count += len(raws)
             seen = []
             sat_count = 0
             for raw in raws:
@@ -74,7 +94,10 @@ class PyQuery:
             if sat_count == 0:
                 for raw in seen:
                     counts[raw]["nsf"] += 1
-                    counts[raw]["solid"] += 1  # misses==0 always here
+                    if misses == 0:
+                        counts[raw]["solid"] += 1
+            else:
+                self.sat_frames += 1
             for raw in seen:
                 result = raw
                 if result > self.s_mask:
@@ -137,12 +160,15 @@ def run_both(m, hashes, frames_idx, min_count_val=2, efl=10**6,
     mc = np.full(num_ids, min_count_val, np.int32)
     res = qs.query(u64.from_numpy(frames), valid, mc)
 
+    bits = np.unpackbits(np.asarray(m.bv_words).view(np.uint8),
+                         bitorder="little")[: m.size]
     py = PyQuery(m.size, m.hash_num, np.asarray(m.data).astype(np.int64),
-                 np.concatenate([[0], np.cumsum(np.unpackbits(
-                     np.asarray(m.bv_words).view(np.uint8),
-                     bitorder="little")[: m.size])]),
-                 pfp, 2.0, efl, 1, best_hit_agree, m.s_mask)
+                 np.concatenate([[0], np.cumsum(bits)]),
+                 pfp, 2.0, efl, 1, best_hit_agree, m.s_mask,
+                 bits=bits.astype(bool))
     pycounts, pycands, pybest = py.query(frames, mc.tolist())
+    assert qs.eval_count == py.eval_count
+    assert qs.sat_count == py.sat_frames
     return res, pycounts, pycands, pybest, qs
 
 
@@ -379,3 +405,209 @@ def test_calc_frame_probs_strand_matches_mirror():
     for i in range(1, num_ids):
         assert probs[i] == mibf.calc_prob_single_frame(
             occ, m.hash_num, counts[i] / total, 0)
+
+
+# ---------------------------------------------------------------------------
+# miss-tolerant / spaced-seed / strand-carrying classification
+# (VERDICT r4 next #4; MIBFQuerySupport.hpp:430-518 st path)
+# ---------------------------------------------------------------------------
+
+def _expect_from_mirror(pycounts, pycands, pybest, num_ids, pfp,
+                        min_count=1, extra_count=2.0, best_hit_agree=False):
+    from btl_bloomfilter_tpu.models.mibf_query import summarize
+    counts_arr = np.zeros((num_ids, 6), np.int32)
+    for i, c in enumerate(pycounts):
+        counts_arr[i] = [c["count"], c["nonSat"], c["total"],
+                         c["totalNonSat"], c["nsf"], c["solid"]]
+    cand_arr = np.zeros(num_ids, bool)
+    cand_arr[pycands] = True
+    best_arr = np.array([pybest["count"], pybest["nonSat"], pybest["total"],
+                         pybest["totalNonSat"], pybest["nsf"],
+                         pybest["solid"]], np.int32)
+    return summarize(counts_arr, cand_arr, best_arr, pfp, min_count,
+                     extra_count, best_hit_agree)
+
+
+def _mirror_for(m, pfp, efl=10**6):
+    bits = np.unpackbits(np.asarray(m.bv_words).view(np.uint8),
+                         bitorder="little")[: m.size]
+    return PyQuery(m.size, m.hash_num, np.asarray(m.data).astype(np.int64),
+                   np.concatenate([[0], np.cumsum(bits)]),
+                   pfp, 2.0, efl, 1, False, m.s_mask,
+                   bits=bits.astype(bool))
+
+
+def test_query_with_misses_nt_eval_parity():
+    """nt path: frames with MISSING positions are skipped but still bump
+    evalCount by 1 (MIBFQuerySupport.hpp:415); counts unaffected."""
+    m, hashes = build_filter()
+    num_ids = 5
+    pfp = [0.0] + [0.1] * (num_ids - 1)
+    qs = mibf_query.MIBFQuerySupport(
+        m=m, per_frame_prob=pfp, extra_count=2.0, extra_frame_limit=10**6,
+        max_miss=0, min_count=1, best_hit_agree=False)
+    mc = np.full(num_ids, 1, np.int32)
+    # mix inserted frames with random (mostly missing) frames
+    alien = rand_hashes(10, m.hash_num, seed=999)
+    frames = np.concatenate([hashes[0:20], alien, hashes[60:80]])
+    valid = np.ones(len(frames), bool)
+    valid[3] = False                      # one not-yielded frame
+    res = qs.query(u64.from_numpy(frames), valid, mc)
+
+    py = _mirror_for(m, pfp)
+    pycounts, pycands, pybest = py.query(
+        [f for f, v in zip(frames, valid) if v], mc.tolist(),
+        max_miss=0, st_mode=False)
+    assert qs.eval_count == py.eval_count
+    assert qs.sat_count == py.sat_frames
+    expect = _expect_from_mirror(pycounts, pycands, pybest, num_ids, pfp)
+    assert [r.id for r in res] == [r.id for r in expect]
+    for a, b in zip(res, expect):
+        assert dataclasses_equal(a, b)
+
+
+def _build_spaced_filter(seed_strings, m2=2, nrefs=3, L=90, seed=7,
+                         size=4096):
+    """End-to-end spaced-seed MIBF: hash real sequences with
+    seeds.spaced_hash_frames, run the 4-phase construct."""
+    from btl_bloomfilter_tpu.ops import seeds as seeds_mod
+
+    rng = np.random.default_rng(seed)
+    k = len(seed_strings[0])
+    h = len(seed_strings) * m2
+    refs = [rng.integers(0, 4, size=L, dtype=np.uint8)
+            for _ in range(nrefs)]
+    st = mibf_construct.BitVectorState(
+        bv_words=jnp.zeros(size // 32, jnp.uint32), filter_size=size,
+        kmer_size=k, hash_num=h, occupancy=0.5,
+        sseeds=tuple(seed_strings))
+    frames = [seeds_mod.spaced_hash_frames(r, seed_strings, m2)
+              for r in refs]
+    for fr in frames:
+        st = mibf_construct.insert_bv(st, fr.hashes, valid=fr.valid)
+    m, counts = mibf_construct.get_empty_mibf(st)
+    for i, fr in enumerate(frames):
+        m, counts = mibf_construct.insert_mibf(m, counts, fr.hashes, i + 1,
+                                               valid=fr.valid)
+    for i, fr in enumerate(frames):
+        m, counts = mibf_construct.insert_saturation(m, counts, fr.hashes,
+                                                     i + 1, valid=fr.valid)
+    return m, refs
+
+
+def _mutate(codes, positions, rng):
+    out = codes.copy()
+    for p in positions:
+        out[p] = (out[p] + rng.integers(1, 4)) % 4
+    return out
+
+
+import pytest
+
+
+@pytest.mark.parametrize("max_miss", [1, 2])
+def test_spaced_seed_classification_max_miss(max_miss):
+    """Spaced-seed MIBF built end-to-end; mutated reads classified with
+    max_miss > 0 must match the mirror fed the same hit masks — the
+    solid/nsf gating on misses==0 and the st-path eval convention
+    included (MIBFQuerySupport.hpp:397-406, :474-484)."""
+    from btl_bloomfilter_tpu.ops import seeds as seeds_mod
+
+    seed_strings = ["110110111011011", "110110111011011"[::-1]]
+    m, refs = _build_spaced_filter(seed_strings)
+    assert m.sseeds  # st engine
+    num_ids = 5
+    pfp = [0.0] + [0.1] * (num_ids - 1)
+    qs = mibf_query.MIBFQuerySupport(
+        m=m, per_frame_prob=pfp, extra_count=2.0, extra_frame_limit=10**6,
+        max_miss=max_miss, min_count=1, best_hit_agree=False)
+    mc = np.full(num_ids, 1, np.int32)
+
+    rng = np.random.default_rng(max_miss * 11 + 1)
+    # a read from ref 2 with two point mutations -> frames with misses
+    read = _mutate(refs[1][10:70], [20, 37], rng)
+    fr = seeds_mod.spaced_hash_frames(read, seed_strings, m2=2)
+    res = qs.query(fr.hashes, fr.valid, mc)
+
+    frames_np = fr.hashes.astype_numpy()
+    v = np.asarray(fr.valid)
+    py = _mirror_for(m, pfp)
+    pycounts, pycands, pybest = py.query(
+        [frames_np[i] for i in range(len(v)) if v[i]], mc.tolist(),
+        max_miss=max_miss, st_mode=True)
+    assert qs.eval_count == py.eval_count
+    assert qs.sat_count == py.sat_frames
+    # the mirror must have seen partial frames for this test to bite
+    expect = _expect_from_mirror(pycounts, pycands, pybest, num_ids, pfp)
+    assert [r.id for r in res] == [r.id for r in expect]
+    for a, b in zip(res, expect):
+        assert dataclasses_equal(a, b)
+    assert res and res[0].id == 2
+    # solid < nsf iff some frames carried misses
+    r0 = res[0]
+    assert r0.solid_count <= r0.non_sat_frame_count
+
+
+def test_spaced_seed_mirror_sees_nonzero_misses():
+    """Guard: the max_miss test above actually exercises misses != 0
+    (frames with 1..max_miss missing slots enter the engine)."""
+    from btl_bloomfilter_tpu.ops import seeds as seeds_mod
+
+    seed_strings = ["110110111011011", "110110111011011"[::-1]]
+    m, refs = _build_spaced_filter(seed_strings)
+    rng = np.random.default_rng(12)
+    read = _mutate(refs[1][10:70], [20, 37], rng)
+    fr = seeds_mod.spaced_hash_frames(read, seed_strings, m2=2)
+    bits = np.unpackbits(np.asarray(m.bv_words).view(np.uint8),
+                         bitorder="little")[: m.size].astype(bool)
+    frames_np = fr.hashes.astype_numpy()
+    v = np.asarray(fr.valid)
+    miss_counts = []
+    for i in range(len(v)):
+        if not v[i]:
+            continue
+        miss_counts.append(sum(
+            0 if bits[int(hv) % m.size] else 1 for hv in frames_np[i]))
+    assert any(0 < c <= 2 for c in miss_counts), miss_counts
+
+
+def test_strand_carrying_classification():
+    """Frames whose stored values carry the strand bit (insert with
+    strand, MIBloomFilter.hpp:312-373) classify as distinct table entries
+    (id | s_strand) — engine vs mirror, width-1 filter (s_strand=64)."""
+    size, h = 2048, 3
+    hashes = rand_hashes(90, h, seed=21)
+    rng = np.random.default_rng(3)
+    strand = rng.random((90, h)) < 0.5
+    st = mibf_construct.BitVectorState(
+        bv_words=jnp.zeros(size // 32, jnp.uint32), filter_size=size,
+        kmer_size=11, hash_num=h, occupancy=0.5, sseeds=())
+    st = mibf_construct.insert_bv(st, u64.from_numpy(hashes))
+    m, counts = mibf_construct.get_empty_mibf(st, data_width=1)
+    for idv, lo in [(1, 0), (2, 30), (3, 60)]:
+        m, ok = mibf_construct.insert_random_order(
+            m, hashes[lo: lo + 30], idv, 1, strand=strand[lo: lo + 30])
+    assert m.s_strand == 64
+    num_ids = 70      # covers id | s_strand = 64..67
+    pfp = [0.0] + [0.1] * (num_ids - 1)
+    qs = mibf_query.MIBFQuerySupport(
+        m=m, per_frame_prob=pfp, extra_count=2.0, extra_frame_limit=10**6,
+        max_miss=0, min_count=1, best_hit_agree=False)
+    mc = np.full(num_ids, 1, np.int32)
+    frames = hashes[30:60]
+    res = qs.query(u64.from_numpy(frames), np.ones(30, bool), mc)
+
+    py = _mirror_for(m, pfp)
+    pycounts, pycands, pybest = py.query(frames, mc.tolist())
+    assert qs.eval_count == py.eval_count
+    expect = _expect_from_mirror(pycounts, pycands, pybest, num_ids, pfp)
+    assert [r.id for r in res] == [r.id for r in expect]
+    for a, b in zip(res, expect):
+        assert dataclasses_equal(a, b)
+    # strand-carrying entries really exist in the stored data ...
+    data = np.asarray(m.data)
+    assert (data >= 64).any() and ((data > 0) & (data < 64)).any()
+    # ... and were counted as DISTINCT table entries (id | s_strand)
+    strand_total = sum(pycounts[i]["total"] for i in range(64, num_ids))
+    plain_total = sum(pycounts[i]["total"] for i in range(1, 64))
+    assert strand_total > 0 and plain_total > 0
