@@ -221,6 +221,151 @@ def query_rates():
     return out
 
 
+def mibf_rates():
+    """MIBF headline numbers (VERDICT r4 next #1):
+
+    mibf_construct_kmers_per_s — the full 4-phase build (insertBV ->
+    freeze -> per-ID reservoir insertMIBF -> per-ID insertSaturation,
+    MIBFConstructSupport.hpp:55-214) over NUM_IDS-1 reference sequences;
+    throughput counts each reference k-mer ONCE (the build touches it in
+    three phases).
+
+    mibf_classify_reads_per_s — batched query_many (MIBFQuerySupport
+    query loop + summarizeCandiates, MIBFQuerySupport.hpp:94-130,
+    :555-596) over R reads x L bases against the built filter, host-side
+    candidate ranking included.
+
+    Pinned config: 2**28-bit bv, num_ids=64, width-2 IDs, k=31 h=4,
+    refs 63 x 16384 bases, classify 256 reads x 2048 bases.
+    """
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from btl_bloomfilter_tpu.models import mibf as mibf_mod
+    from btl_bloomfilter_tpu.models import mibf_construct as construct
+    from btl_bloomfilter_tpu.models import mibf_query as mq
+    from btl_bloomfilter_tpu.ops import nthash
+    from btl_bloomfilter_tpu.ops.u64 import U64
+
+    BV_SIZE = 1 << 28
+    NUM_IDS = 64
+    NREFS = NUM_IDS - 1
+    REF_L = 16384
+    RQ, LQ = 256, 2048
+    out = {}
+
+    rng = np.random.default_rng(3)
+    refs = rng.integers(0, 4, size=(NREFS, REF_L), dtype=np.uint8)
+    ref_codes = jnp.asarray(refs)
+    total_kmers = NREFS * (REF_L - K + 1)
+
+    st0 = construct.BitVectorState(
+        bv_words=jnp.zeros(BV_SIZE // 32, jnp.uint32), filter_size=BV_SIZE,
+        kmer_size=K, hash_num=H, occupancy=0.5, sseeds=())
+
+    @jax.jit
+    def phase1(codes):
+        f = nthash.hash_frames(codes, K, H)
+        return construct.insert_bv(st0, f.hashes, f.valid).bv_words, \
+            f.hashes.hi, f.hashes.lo, f.valid
+
+    def phase3_fn(m0):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def phase3(data, counts, hi, lo, valid, ids):
+            def step(dc, inp):
+                d, c = dc
+                fhi, flo, v, idv = inp
+                mm = dataclasses.replace(m0, data=d)
+                mm, c = construct.insert_mibf(mm, c, U64(fhi, flo), idv,
+                                              valid=v)
+                return (mm.data, c), None
+            (d, c), _ = lax.scan(step, (data, counts),
+                                 (hi, lo, valid, ids))
+            return d, c
+        return phase3
+
+    def phase4_fn(m0):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def phase4(data, counts, hi, lo, valid, ids):
+            def step(dc, inp):
+                d, c = dc
+                fhi, flo, v, idv = inp
+                mm = dataclasses.replace(m0, data=d)
+                mm, c = construct.insert_saturation(mm, c, U64(fhi, flo),
+                                                    idv, valid=v)
+                return (mm.data, c), None
+            (d, c), _ = lax.scan(step, (data, counts),
+                                 (hi, lo, valid, ids))
+            return d, c
+        return phase4
+
+    ids = jnp.arange(1, NREFS + 1, dtype=jnp.int32)
+
+    def full_build():
+        bv, hi, lo, valid = phase1(ref_codes)
+        m0, counts = construct.get_empty_mibf(
+            construct.BitVectorState(bv_words=bv, filter_size=BV_SIZE,
+                                     kmer_size=K, hash_num=H,
+                                     occupancy=0.5, sseeds=()))
+        p3 = _MIBF_CACHE.setdefault(("p3", m0.d_size), phase3_fn(m0))
+        p4 = _MIBF_CACHE.setdefault(("p4", m0.d_size), phase4_fn(m0))
+        data, counts = p3(m0.data, counts, hi, lo, valid, ids)
+        data, counts = p4(data, counts, hi, lo, valid, ids)
+        return dataclasses.replace(m0, data=data), counts
+
+    def drain(x):
+        return int(jnp.sum(x.ravel()[:1].astype(jnp.int32)))
+
+    m, counts = full_build()          # compile + warm (d_size now fixed)
+    drain(m.data)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        m2, c2 = full_build()
+        drain(m2.data)
+    out["mibf_construct_kmers_per_s"] = total_kmers * reps / (
+        time.perf_counter() - t0)
+
+    # --- classification ---------------------------------------------------
+    starts = rng.integers(0, REF_L - LQ, size=RQ)
+    srcs = rng.integers(0, NREFS, size=RQ)
+    reads = np.stack([refs[s, o: o + LQ] for s, o in zip(srcs, starts)])
+    qcodes = jnp.asarray(reads)
+    pfp = [0.0] + [0.1] * (NUM_IDS - 1)
+    qs = mq.MIBFQuerySupport(
+        m=m, per_frame_prob=pfp, extra_count=2.0, extra_frame_limit=10**6,
+        max_miss=0, min_count=1, best_hit_agree=False)
+    mc = np.full(NUM_IDS, 2, np.int32)
+
+    @jax.jit
+    def qhash(codes):
+        f = nthash.hash_frames(codes, K, H)
+        return f.hashes.hi, f.hashes.lo, f.valid
+
+    qhi, qlo, qvalid = qhash(qcodes)
+    qhashes = U64(qhi, qlo)
+
+    res = qs.query_many(qhashes, qvalid, mc)    # compile + warm
+    correct = sum(1 for r, s in zip(res, srcs)
+                  if r and r[0].id == s + 1)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = qs.query_many(qhashes, qvalid, mc)
+    dt = time.perf_counter() - t0
+    out["mibf_classify_reads_per_s"] = RQ * reps / dt
+    out["mibf_classify_kmers_per_s"] = RQ * (LQ - K + 1) * reps / dt
+    out["mibf_classify_correct_frac"] = correct / RQ
+    return out
+
+
+_MIBF_CACHE = {}
+
+
 HBM_PEAK = 819e9  # TPU v5e
 
 
@@ -242,12 +387,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="also measure blocked-filter rates (stderr)")
+    ap.add_argument("--mibf-only", action="store_true",
+                    help="measure + print only the MIBF numbers (dev)")
     args = ap.parse_args()
+
+    if args.mibf_only:
+        print(json.dumps({k: round(v, 4) for k, v in mibf_rates().items()}))
+        return
 
     rate = tpu_rate()
     base = cpp_baseline()
     vs = rate / PINNED_CPP_KMERS_PER_S
     extras = query_rates()
+    extras.update(mibf_rates())
     if args.full:
         print(json.dumps({k: round(v, 1) for k, v in extras.items()
                           if v is not None}), file=sys.stderr)
@@ -275,6 +427,12 @@ def main():
         "counting_query_vs_baseline": round(
             extras["counting_query_kmers_per_s"]
             / PINNED_CPP_COUNTING_QUERY_KMERS_PER_S, 3),
+        "mibf_construct_kmers_per_s":
+            round(extras["mibf_construct_kmers_per_s"], 1),
+        "mibf_classify_reads_per_s":
+            round(extras["mibf_classify_reads_per_s"], 1),
+        "mibf_classify_kmers_per_s":
+            round(extras["mibf_classify_kmers_per_s"], 1),
         "roofline_frac": round(roofline_frac(rate), 4),
         "cpp_baseline_pinned_kmers_per_s": PINNED_CPP_KMERS_PER_S,
         "cpp_baseline_kmers_per_s": round(base, 1) if base else None,

@@ -411,7 +411,8 @@ def _make_word_step(per: int, counter_max: int):
 def insert(cbf: CountingBloomFilter, hashes: U64, valid=None,
            max_entangled: int | None = None,
            use_kernel: bool | None = None,
-           interpret: bool = False) -> CountingBloomFilter:
+           interpret: bool = False,
+           group_duplicates: bool = True) -> CountingBloomFilter:
     """Batched conservative update, bit-identical to processing frames one
     at a time in stream order (incrementMin,
     CountingBloomFilter.hpp:135-162).
@@ -431,6 +432,12 @@ def insert(cbf: CountingBloomFilter, hashes: U64, valid=None,
     processed by the sequential mirror instead (still exact). On TPU the
     closed form routes through the windowed Mosaic kernels;
     ``use_kernel`` forces the choice (None = auto).
+
+    ``group_duplicates=False`` selects the tier-1 decompose (no
+    group-by-multiset sort; see _conservative_decompose): exact for any
+    stream and faster on LOW-duplication streams, but duplicate frames
+    fill the replay buffer, so keep the default for coverage-like input
+    where the same k-mer recurs many times per batch.
     """
     h = hashes.hi.shape[-1]
     pos = _positions(cbf, hashes).reshape(-1, h)
@@ -449,7 +456,7 @@ def insert(cbf: CountingBloomFilter, hashes: U64, valid=None,
     words = insert_positions(cbf.counters, pos, v, cbf.counter_max,
                              cbf.size, cbf.counters_per_word,
                              max_entangled, use_kernel=use_kernel,
-                             interpret=interpret)
+                             interpret=interpret, group=group_duplicates)
     return dataclasses.replace(cbf, counters=words)
 
 
@@ -457,7 +464,8 @@ def _conservative_decompose(pos: jax.Array, v: jax.Array,
                             max_entangled: int | None, size: int,
                             words: jax.Array | None = None,
                             per_word: int | None = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            group: bool = True):
     """Shared decomposition of the batched conservative update: group
     frames by identical position multiset, split untangled groups (no
     position shared with another group) from entangled ones, and compact
@@ -479,7 +487,18 @@ def _conservative_decompose(pos: jax.Array, v: jax.Array,
     set) is compacted. The stream-first test is exact: a frame can only
     conflict with earlier frames through a shared position, and shared
     positions of entangled frames are used exclusively by entangled
-    frames (an untangled group shares its positions with nobody)."""
+    frames (an untangled group shares its positions with nobody).
+
+    ``group=False`` skips the group-by-multiset sort entirely (tier-1
+    decompose): every frame is its own group with c=1, and the
+    entanglement pair sort alone classifies frames — a frame whose every
+    slot is the stream-first user of its position joins the closed form
+    (the depth-1 argument, which never needed grouping), everything else
+    replays. Exact for ANY stream; duplicate frames land in the replay
+    remainder instead of collapsing into groups, so the grouped tier
+    remains the right choice for high-multiplicity (coverage-like)
+    streams while tier-1 drops one full n-row h-key sort + one pair-sort
+    operand on low-duplication streams (the bench's random reads)."""
     n, h = pos.shape
     sent = jnp.uint32(0xFFFFFFFF)  # > any position (size <= 2**32-1)
     pos = jnp.where(v[:, None], pos.astype(jnp.uint32), sent)
@@ -487,24 +506,30 @@ def _conservative_decompose(pos: jax.Array, v: jax.Array,
     # --- 1. group by identical position multiset -------------------------
     key = jnp.sort(pos, axis=-1)                       # [n, h] frame key
     order0 = jnp.arange(n, dtype=jnp.int32)
-    sorted_ops = jax.lax.sort(
-        tuple(key[:, j] for j in range(h)) + (order0,), num_keys=h,
-        is_stable=False)
-    ks = jnp.stack(sorted_ops[:h], axis=1)             # [n, h] sorted keys
-    frame_of = sorted_ops[h]                           # original frame idx
-    new_grp = jnp.ones((n,), bool).at[1:].set(
-        jnp.any(ks[1:] != ks[:-1], axis=1))
-
-    # run id and run length per sorted row (blocked log-depth scans, no
-    # scatter; see _blocked_scan for the flat-scan compile pathology)
-    gid = _blocked_scan(jnp.add, new_grp.astype(jnp.int32), 0) - 1
     idx = jnp.arange(n, dtype=jnp.int32)
-    run_start = jnp.where(new_grp, idx, 0)
-    run_start = _blocked_scan(jnp.maximum, run_start, 0)
-    is_last = jnp.ones((n,), bool).at[:-1].set(new_grp[1:])
-    run_end = jnp.where(is_last, idx, n - 1)
-    run_end = _blocked_scan(jnp.minimum, run_end, n - 1, reverse=True)
-    run_len = run_end - run_start + 1
+    if group:
+        sorted_ops = jax.lax.sort(
+            tuple(key[:, j] for j in range(h)) + (order0,), num_keys=h,
+            is_stable=False)
+        ks = jnp.stack(sorted_ops[:h], axis=1)         # [n, h] sorted keys
+        frame_of = sorted_ops[h]                       # original frame idx
+        new_grp = jnp.ones((n,), bool).at[1:].set(
+            jnp.any(ks[1:] != ks[:-1], axis=1))
+
+        # run id and run length per sorted row (blocked log-depth scans, no
+        # scatter; see _blocked_scan for the flat-scan compile pathology)
+        gid = _blocked_scan(jnp.add, new_grp.astype(jnp.int32), 0) - 1
+        run_start = jnp.where(new_grp, idx, 0)
+        run_start = _blocked_scan(jnp.maximum, run_start, 0)
+        is_last = jnp.ones((n,), bool).at[:-1].set(new_grp[1:])
+        run_end = jnp.where(is_last, idx, n - 1)
+        run_end = _blocked_scan(jnp.minimum, run_end, n - 1, reverse=True)
+        run_len = run_end - run_start + 1
+    else:
+        ks = key                                       # original order
+        frame_of = order0
+        new_grp = jnp.ones((n,), bool)
+        run_len = jnp.ones((n,), jnp.int32)
 
     # --- 2. entanglement + stream-first flags per position run -----------
     # pairs sort by (position, STREAM index): the stream-first user of
@@ -512,12 +537,18 @@ def _conservative_decompose(pos: jax.Array, v: jax.Array,
     # (a tuple associative_scan at this scale was a compile-time
     # pathology on the remote TPU toolchain: >10 min for one scan)
     pair_pos = ks.reshape(-1)                          # [n*h], gid-major
-    pair_gid = jnp.repeat(gid, h)
     pair_stream = jnp.repeat(frame_of, h).astype(jnp.uint32)
     pidx = jnp.arange(n * h, dtype=jnp.uint32)
-    pp_s, ps_s, pg_s, pi_s = jax.lax.sort(
-        (pair_pos, pair_stream, pair_gid, pidx), num_keys=2,
-        is_stable=False)
+    if group:
+        pair_gid = jnp.repeat(gid, h)
+        pp_s, ps_s, pg_s, pi_s = jax.lax.sort(
+            (pair_pos, pair_stream, pair_gid, pidx), num_keys=2,
+            is_stable=False)
+    else:
+        # ungrouped: gid == stream, one fewer 24.8M-word sort operand
+        pp_s, ps_s, pi_s = jax.lax.sort(
+            (pair_pos, pair_stream, pidx), num_keys=2, is_stable=False)
+        pg_s = ps_s
     shared_prev = jnp.zeros((n * h,), bool).at[1:].set(
         (pp_s[1:] == pp_s[:-1]) & (pg_s[1:] != pg_s[:-1])
         & (pp_s[1:] != sent))
@@ -563,12 +594,15 @@ def _conservative_decompose(pos: jax.Array, v: jax.Array,
             frame_first = jnp.all((kr & 2) == 2, axis=1)
             cur = v2_s.reshape(n, h)
     # group-wide flag: any shared frame inside the run marks the whole run
-    last_shared = _blocked_scan(jnp.maximum,
-                                jnp.where(frame_shared, idx, -1), -1)
-    next_shared = _blocked_scan(jnp.minimum,
-                                jnp.where(frame_shared, idx, n), n,
-                                reverse=True)
-    entangled_s = (last_shared >= run_start) | (next_shared <= run_end)
+    if group:
+        last_shared = _blocked_scan(jnp.maximum,
+                                    jnp.where(frame_shared, idx, -1), -1)
+        next_shared = _blocked_scan(jnp.minimum,
+                                    jnp.where(frame_shared, idx, n), n,
+                                    reverse=True)
+        entangled_s = (last_shared >= run_start) | (next_shared <= run_end)
+    else:
+        entangled_s = frame_shared
 
     live_s = ks[:, 0] != sent                            # frame is valid
     entangled_s = entangled_s & live_s
@@ -691,7 +725,8 @@ def insert_positions(words: jax.Array, pos: jax.Array, v: jax.Array,
                      counter_max: int, size: int, per_word: int,
                      max_entangled: int | None = None,
                      use_kernel: bool | None = None,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False,
+                     group: bool = True) -> jax.Array:
     """Position-level core of :func:`insert` (the group-collapse +
     entangled-replay decomposition): conservative-update the PACKED word
     array (uint32[size // per_word], ``per_word`` counters per word;
@@ -715,8 +750,9 @@ def insert_positions(words: jax.Array, pos: jax.Array, v: jax.Array,
                       and _window_density_ok(n * h, words.shape[0]))
     if use_kernel:
         return _insert_positions_kernel(words, pos, v, counter_max, size,
-                                        max_entangled, per_word, interpret)
-    d = _conservative_decompose(pos, v, max_entangled, size)
+                                        max_entangled, per_word, interpret,
+                                        group=group)
+    d = _conservative_decompose(pos, v, max_entangled, size, group=group)
     words0 = words
     cur = _gather_lane_xla(words0,
                            jnp.where(d["closed"][:, None], d["ks"], 0),
@@ -730,7 +766,8 @@ def insert_positions(words: jax.Array, pos: jax.Array, v: jax.Array,
 def _insert_positions_kernel(words: jax.Array, pos: jax.Array,
                              v: jax.Array, counter_max: int, size: int,
                              max_entangled: int | None, per: int,
-                             interpret: bool) -> jax.Array:
+                             interpret: bool,
+                             group: bool = True) -> jax.Array:
     """Closed form for untangled groups routed through the windowed Mosaic
     kernels instead of XLA's serial per-element gather/scatter
     (docs/PERFORMANCE.md "Conservative-update counting"). Pipeline:
@@ -750,7 +787,8 @@ def _insert_positions_kernel(words: jax.Array, pos: jax.Array,
     shift = jnp.uint32(_SUB_SHIFT[per])
     words0 = words
     d = _conservative_decompose(pos, v, max_entangled, size, words=words0,
-                                per_word=per, interpret=interpret)
+                                per_word=per, interpret=interpret,
+                                group=group)
     ks, closed, closed_c = d["ks"], d["closed"], d["closed_c"]
 
     cur = jax.lax.cond(

@@ -310,15 +310,14 @@ def at_rank_data(mibf: MIBloomFilter, hashes: U64,
                         lambda: (rank_k, hit_k, raw_k))
 
 
-def at_rank(mibf: MIBloomFilter, hashes: U64,
-            use_kernel: bool | None = None):
-    """Batch equivalent of atRank (MIBloomFilter.hpp:478-515): for hashes
-    U64[..., h] returns (rank int32[..., h], hit bool[..., h]).
-
-    On TPU, large filters route the two rank gathers through the Mosaic
-    windowed gather kernel; ``use_kernel`` forces the choice (None =
-    auto). Window-overflow batches recompute via the XLA gather."""
-    pos = positions(mibf, hashes)
+def rank_of_positions_auto(mibf: MIBloomFilter, pos: jax.Array,
+                           use_kernel: bool | None = None):
+    """(rank, hit) for bit positions with auto kernel routing: on TPU,
+    large filters and batches route the two rank gathers through the
+    Mosaic windowed gather kernel (window-overflow batches recompute via
+    the XLA gather). Shared by atRank and the construct phases' rank
+    lookups (insertMIBF/setSatIfMissing, MIBFConstructSupport.hpp:121,
+    :179)."""
     if use_kernel is None:
         # below ~2M positions the kernel's fixed costs (sort + window DMA
         # walk) only reach parity with the XLA gather (bench/mibf_probe.py:
@@ -333,6 +332,18 @@ def at_rank(mibf: MIBloomFilter, hashes: U64,
         over > 0,
         lambda: rank_of_positions(mibf, pos),
         lambda: (rank_k, hit_k))
+
+
+def at_rank(mibf: MIBloomFilter, hashes: U64,
+            use_kernel: bool | None = None):
+    """Batch equivalent of atRank (MIBloomFilter.hpp:478-515): for hashes
+    U64[..., h] returns (rank int32[..., h], hit bool[..., h]).
+
+    On TPU, large filters route the two rank gathers through the Mosaic
+    windowed gather kernel; ``use_kernel`` forces the choice (None =
+    auto). Window-overflow batches recompute via the XLA gather."""
+    pos = positions(mibf, hashes)
+    return rank_of_positions_auto(mibf, pos, use_kernel=use_kernel)
 
 
 def get_data(mibf: MIBloomFilter, rank: jax.Array) -> jax.Array:

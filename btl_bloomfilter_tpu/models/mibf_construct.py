@@ -70,18 +70,24 @@ def create(expected_entries: int, k: int, hash_num: int,
                           occupancy=occupancy, sseeds=tuple(spaced_seeds))
 
 
-def _scatter_or_bits(words: jax.Array, pos: jax.Array, valid: jax.Array):
+def _scatter_or_bits(words: jax.Array, pos: jax.Array, valid: jax.Array,
+                     size: int | None = None,
+                     use_kernel: bool | None = None):
+    """Phase-1 scatter-OR, kernel-routed: rides the same in-place RMW
+    ring scatter as the Bloom insert (bloom.insert_sentinel_positions;
+    VERDICT r4 next #1) — on TPU the filter slots stream through VMEM
+    once instead of paying the XLA serial scatter + full-array OR."""
     sent = jnp.uint32(0xFFFFFFFF)
     p = jnp.where(valid, pos.astype(jnp.uint32), sent)
-    p_s = jax.lax.sort((p.reshape(-1),), is_stable=False)[0]
-    keep = jnp.ones(p_s.shape, bool).at[1:].set(p_s[1:] != p_s[:-1])
-    keep = keep & (p_s != sent)
-    delta = bloom_mod.sorted_delta_words(p_s, keep, words.shape[0])
-    return words | delta
+    bfw = bloom_mod.BloomFilter(
+        words=words, size=size if size is not None else words.shape[0] * 32,
+        hash_num=0, kmer_size=0)
+    return bloom_mod.insert_sentinel_positions(
+        bfw, p, use_kernel=use_kernel).words
 
 
-def insert_bv(state: BitVectorState, hashes: U64, valid=None
-              ) -> BitVectorState:
+def insert_bv(state: BitVectorState, hashes: U64, valid=None,
+              use_kernel: bool | None = None) -> BitVectorState:
     """Phase 1: scatter-OR all frame positions into the bit vector
     (insertBV, MIBFConstructSupport.hpp:75-87)."""
     pos = u64.mod_to_index(hashes, state.filter_size)
@@ -90,7 +96,9 @@ def insert_bv(state: BitVectorState, hashes: U64, valid=None
     else:
         v = jnp.broadcast_to(jnp.asarray(valid)[..., None], pos.shape)
     return dataclasses.replace(
-        state, bv_words=_scatter_or_bits(state.bv_words, pos, v))
+        state, bv_words=_scatter_or_bits(state.bv_words, pos, v,
+                                         size=state.filter_size,
+                                         use_kernel=use_kernel))
 
 
 def insert_bv_colli(state: BitVectorState, hashes: U64, valid=None):
@@ -138,7 +146,8 @@ def insert_bv_colli(state: BitVectorState, hashes: U64, valid=None):
     colli = v & jnp.all(initial | we, axis=-1)
     count = jnp.sum(colli.astype(jnp.int32))
     words = _scatter_or_bits(state.bv_words, flat_pos,
-                             jnp.broadcast_to(v[:, None], flat_pos.shape))
+                             jnp.broadcast_to(v[:, None], flat_pos.shape),
+                             size=state.filter_size)
     return dataclasses.replace(state, bv_words=words), count
 
 
@@ -211,7 +220,7 @@ def _unique_sorted_u64(hashes: U64, valid):
 
 
 def insert_mibf(m: MIBloomFilter, counts: jax.Array, hashes: U64, id_value: int,
-                valid=None):
+                valid=None, use_kernel: bool | None = None):
     """Phase 3: single-value reservoir sampling of ``id_value`` over the
     unique hash values of one sequence (insertMIBF,
     MIBFConstructSupport.hpp:109-130), processed in sorted-value order.
@@ -223,7 +232,8 @@ def insert_mibf(m: MIBloomFilter, counts: jax.Array, hashes: U64, id_value: int,
     """
     hi_s, lo_s, keep = _unique_sorted_u64(hashes, valid)
     pos = mibf_mod.positions(m, U64(hi_s, lo_s))
-    rank, _hit = mibf_mod.rank_of_positions(m, pos)
+    rank, _hit = mibf_mod.rank_of_positions_auto(m, pos,
+                                                 use_kernel=use_kernel)
     data, counts = reservoir_core(m.data, counts, rank, hi_s, lo_s, keep,
                                   id_value, m.d_size, m.data_width)
     return dataclasses.replace(m, data=data), counts
@@ -340,7 +350,7 @@ def _phase4_ranks(m: MIBloomFilter, hashes: U64, valid):
     pass: only data/counts mutate, the bit vector is frozen)."""
     h = hashes.hi.shape[-1]
     pos = mibf_mod.positions(m, hashes).reshape(-1, h)
-    rank, _hit = mibf_mod.rank_of_positions(m, pos)
+    rank, _hit = mibf_mod.rank_of_positions_auto(m, pos)
     if valid is None:
         v = jnp.ones(pos.shape[0], bool)
     else:

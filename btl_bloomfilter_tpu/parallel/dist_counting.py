@@ -115,7 +115,9 @@ class ShardedCountingBloomFilter:
     shard s owns counters [s*size/p, (s+1)*size/p). Place ``counters``
     with NamedSharding(mesh, P(AXIS)) so shard i lives on device i."""
 
-    counters: jax.Array        # [p, size // p], dtype per counter_width
+    counters: jax.Array        # [p, size // p], dtype per counter_width;
+    #                            width 8: [p, 2, size // p] uint32 planes
+    #                            (row 0 = low limbs, row 1 = high limbs)
     size: int                  # total number of counters
     hash_num: int
     kmer_size: int
@@ -131,6 +133,10 @@ class ShardedCountingBloomFilter:
         return self.size // self.counters.shape[0]
 
     @property
+    def is_u64(self) -> bool:
+        return self.counter_width == 8
+
+    @property
     def counter_max(self) -> int:
         return (1 << (8 * min(self.counter_width, 4))) - 1
 
@@ -142,11 +148,6 @@ def create_sharded(mesh: Mesh, size_in_bytes: int, hash_num: int,
     multiple of 8 (CountingBloomFilter.hpp:31-50) and of the shard
     count so every shard holds the same number of counters."""
     p = mesh.devices.size
-    if counter_width == 8:
-        raise NotImplementedError(
-            "sharded counter planes support widths 1/2/4; uint64 filters "
-            "scale out data-parallel (dp_insert_all_seq handles the "
-            "dual-plane layout)")
     size_in_bytes += -size_in_bytes % (8 * p)
     size = size_in_bytes // counter_width
     if size // p >= (1 << 32):
@@ -155,7 +156,15 @@ def create_sharded(mesh: Mesh, size_in_bytes: int, hash_num: int,
                          "shards")
     # shards stay per-counter-dtype planes (the routing works on counter
     # indices; the single-device filter packs words instead — see
-    # models/counting.py storage note)
+    # models/counting.py storage note). Width 8 shards are dual uint32
+    # planes (the counting filter's u64 pattern).
+    if counter_width == 8:
+        counters = jax.device_put(jnp.zeros((p, 2, size // p), jnp.uint32),
+                                  NamedSharding(mesh, P(AXIS)))
+        return ShardedCountingBloomFilter(
+            counters=counters, size=size, hash_num=hash_num,
+            kmer_size=kmer_size, count_threshold=count_threshold,
+            counter_width=counter_width)
     dt = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32}[counter_width]
     counters = jax.device_put(jnp.zeros((p, size // p), dt),
                               NamedSharding(mesh, P(AXIS)))
@@ -216,6 +225,16 @@ def sharded_insert_all(mesh: Mesh, scbf: ShardedCountingBloomFilter,
             lpos = jnp.where(ok, recv, jnp.uint32(shard_size))
             occ = jnp.zeros((shard_size,), jnp.uint32).at[lpos].add(
                 ok.astype(jnp.uint32), mode="drop")
+            if scbf.is_u64:
+                # dual-plane saturating u64 add (counting.insert_all)
+                lo0, hi0 = cs[0], cs[1]
+                lo2 = lo0 + occ
+                carry = (lo2 < lo0).astype(jnp.uint32)
+                hi2 = hi0 + carry
+                ov = (carry == 1) & (hi0 == jnp.uint32(0xFFFFFFFF))
+                lo2 = jnp.where(ov, jnp.uint32(0xFFFFFFFF), lo2)
+                hi2 = jnp.where(ov, jnp.uint32(0xFFFFFFFF), hi2)
+                return jnp.stack([lo2, hi2])
             wide = cs.astype(jnp.uint32) + occ
             return jnp.minimum(wide, jnp.uint32(cmax)).astype(cs.dtype)
 
@@ -240,10 +259,12 @@ def sharded_min_count(mesh: Mesh, scbf: ShardedCountingBloomFilter,
                       hashes: U64, cap: int | None = None):
     """Sharded minimum-counter query (CountingBloomFilter.hpp:54-64):
     positions route to owners, counter values route back; returns
-    uint32[...] of min counts per frame."""
+    uint32[...] of min counts per frame (width 8: uint32[2, ...] with
+    row 0 = low limbs, row 1 = high limbs)."""
     from .dist_bloom import _default_cap, _round_sendbuf, route_prepare
     p = scbf.counters.shape[0]
     shard_size = scbf.shard_size
+    is_u64 = scbf.is_u64
 
     def local(counters, hi, lo):
         shape = hi.shape
@@ -255,14 +276,7 @@ def sharded_min_count(mesh: Mesh, scbf: ShardedCountingBloomFilter,
                                                           p)
         sent = jnp.uint32(0xFFFFFFFF)
 
-        def apply_round(acc, rnd):
-            buf = _round_sendbuf(pay_s, own_s, slot, p, c, rnd)
-            # received entries are LOCAL counter offsets within my shard
-            recv = lax.all_to_all(buf, AXIS, split_axis=0,
-                                  concat_axis=0).reshape(-1)
-            ok = recv != sent
-            lpos = jnp.where(ok, recv, jnp.uint32(0))
-            vals = counters[0][lpos].astype(jnp.uint32)
+        def route_back(vals, rnd, acc):
             back = lax.all_to_all(vals.reshape(p, c), AXIS, split_axis=0,
                                   concat_axis=0)
             active = (own_s < p) & (slot >= rnd * c) & (slot < (rnd + 1) * c)
@@ -270,26 +284,53 @@ def sharded_min_count(mesh: Mesh, scbf: ShardedCountingBloomFilter,
             col = jnp.where(active, slot - rnd * c, 0).astype(jnp.int32)
             return jnp.where(active, back[row, col], acc)
 
-        acc = apply_round(jnp.zeros((n,), jnp.uint32), 0)
+        def apply_round(acc, rnd):
+            buf = _round_sendbuf(pay_s, own_s, slot, p, c, rnd)
+            # received entries are LOCAL counter offsets within my shard
+            recv = lax.all_to_all(buf, AXIS, split_axis=0,
+                                  concat_axis=0).reshape(-1)
+            ok = recv != sent
+            lpos = jnp.where(ok, recv, jnp.uint32(0))
+            if is_u64:
+                acc_lo, acc_hi = acc
+                return (route_back(counters[0][0][lpos], rnd, acc_lo),
+                        route_back(counters[0][1][lpos], rnd, acc_hi))
+            vals = counters[0][lpos].astype(jnp.uint32)
+            return route_back(vals, rnd, acc)
+
+        zero = jnp.zeros((n,), jnp.uint32)
+        acc = apply_round((zero, zero) if is_u64 else zero, 0)
         max_count = lax.pmax(jnp.max(counts), AXIS)
         acc = lax.while_loop(
             lambda st: st[0] * c < max_count,
             lambda st: (st[0] + 1, apply_round(st[1], st[0])),
             (jnp.int32(1), acc))[1]
+        if is_u64:
+            un_lo = jnp.zeros((n,), jnp.uint32).at[order].set(acc[0])
+            un_hi = jnp.zeros((n,), jnp.uint32).at[order].set(acc[1])
+            mv = U64(un_hi.reshape(shape), un_lo.reshape(shape))
+            h = shape[-1]
+            mn = U64(mv.hi[..., 0], mv.lo[..., 0])
+            for j in range(1, h):
+                mn = u64.min_(mn, U64(mv.hi[..., j], mv.lo[..., j]))
+            return jnp.stack([mn.lo, mn.hi])
         unsorted = jnp.zeros((n,), jnp.uint32).at[order].set(acc)
         return jnp.min(unsorted.reshape(shape), axis=-1)
 
     fn = jax.jit(shard_map(local, mesh=mesh,
                            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
-                           out_specs=P(AXIS)))
+                           out_specs=P(AXIS) if not is_u64 else P(None, AXIS)))
     return fn(scbf.counters, hashes.hi, hashes.lo)
 
 
 def sharded_contains(mesh: Mesh, scbf: ShardedCountingBloomFilter,
                      hashes: U64, cap: int | None = None):
     """Sharded membership (CountingBloomFilter.hpp:190-196)."""
-    return sharded_min_count(mesh, scbf, hashes, cap) >= jnp.uint32(
-        scbf.count_threshold)
+    mc = sharded_min_count(mesh, scbf, hashes, cap)
+    if scbf.is_u64:
+        # threshold < 2**32: any high limb means the count clears it
+        return (mc[1] > 0) | (mc[0] >= jnp.uint32(scbf.count_threshold))
+    return mc >= jnp.uint32(scbf.count_threshold)
 
 
 def sharded_insert(mesh: Mesh, scbf: ShardedCountingBloomFilter,
@@ -349,12 +390,25 @@ def sharded_insert(mesh: Mesh, scbf: ShardedCountingBloomFilter,
         tpos_hi = jnp.full((T,), sent).at[tdest].set(hi_s, mode="drop")
         tpos_lo = jnp.full((T,), sent).at[tdest].set(lo_s, mode="drop")
 
-        # 3. fetch table values from owners (one psum)
+        # 3. fetch table values from owners (one psum per plane)
         my = lax.axis_index(AXIS).astype(jnp.uint32)
         owner64, local64 = u64.divmod_const(U64(tpos_hi, tpos_lo),
                                             shard_size)
         mine = (owner64.lo == my) & (owner64.hi == 0)    # sent -> >= p
         lpos = jnp.where(mine, local64.lo, jnp.uint32(0))
+        dest = jnp.where(mine, lpos, jnp.uint32(shard_size))
+        if scbf.is_u64:
+            t_lo = lax.psum(jnp.where(mine, counters[0][0][lpos], 0), AXIS)
+            t_hi = lax.psum(jnp.where(mine, counters[0][1][lpos], 0), AXIS)
+            # 4. replicated exact dual-plane decomposition on the table
+            new_lo, new_hi = counting_mod.insert_positions_u64(
+                t_lo, t_hi, uid.reshape(n, h), vv, T, max_entangled)
+            # 5. write back my entries
+            cs_lo = counters[0][0].at[dest].set(
+                jnp.where(mine, new_lo, 0), mode="drop")
+            cs_hi = counters[0][1].at[dest].set(
+                jnp.where(mine, new_hi, 0), mode="drop")
+            return jnp.stack([cs_lo, cs_hi])[None]
         vals = jnp.where(mine, counters[0][lpos].astype(jnp.uint32), 0)
         table = lax.psum(vals, AXIS)
 
@@ -369,7 +423,6 @@ def sharded_insert(mesh: Mesh, scbf: ShardedCountingBloomFilter,
             max_entangled, use_kernel=False)
 
         # 5. write back my entries
-        dest = jnp.where(mine, lpos, jnp.uint32(shard_size))
         cs = counters[0].at[dest].set(
             jnp.where(mine, new_table, 0).astype(counters.dtype),
             mode="drop")

@@ -307,6 +307,34 @@ def test_conservative_update_kernel_path_matches_sequential(
                                   np.asarray(b.counters))
 
 
+@pytest.mark.parametrize("n,h,size_bytes,repeat,width,seed", [
+    (500, 3, 4096, 1, 1, 1),    # sparse random, few collisions
+    (400, 3, 256, 1, 1, 2),     # dense -> heavy entanglement
+    (300, 4, 2048, 3, 1, 3),    # duplicate frames -> replay remainder
+    (64, 2, 64, 8, 1, 4),       # tiny filter: entanglement + u8 freeze
+    (300, 3, 4096, 2, 2, 5),    # u16
+])
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_conservative_update_ungrouped_matches_sequential(
+        n, h, size_bytes, repeat, width, seed, use_kernel):
+    """The tier-1 decompose (group_duplicates=False: no group-by-multiset
+    sort, duplicates replay) must stay bit-identical to stream order on
+    the same streams as the grouped tier, XLA and kernel paths."""
+    hs = _rand_hashes(n, h, seed)
+    if repeat > 1:
+        ridx = np.tile(np.arange(n), repeat)
+        np.random.default_rng(seed + 100).shuffle(ridx)
+        hs = u64.U64(hs.hi[ridx], hs.lo[ridx])
+    valid = jnp.asarray(
+        np.random.default_rng(seed + 7).random(hs.hi.shape[0]) < 0.9)
+    cbf0 = counting.create(size_bytes, h, 5, 1, counter_width=width)
+    a = counting.insert_sequential(cbf0, hs, valid)
+    b = counting.insert(cbf0, hs, valid, use_kernel=use_kernel,
+                        interpret=use_kernel, group_duplicates=False)
+    np.testing.assert_array_equal(np.asarray(a.counters),
+                                  np.asarray(b.counters))
+
+
 def test_conservative_update_kernel_gather_overflow_fallback():
     """Positions spanning many windows per chunk overflow the gather
     window; the kernel path must then recompute via the XLA closed form
