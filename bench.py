@@ -164,7 +164,13 @@ def query_rates():
     def counting_insert(counters, codes):
         f = nthash.hash_frames(codes, K, H)
         st = dataclasses.replace(cbf, counters=counters)
-        return counting.insert(st, f.hashes, f.valid).counters
+        # tier-1 decompose: exact for any stream; skips the
+        # group-by-multiset sort, the right choice for this workload
+        # class (random reads, no duplicate frames). Coverage-like
+        # duplicate-heavy streams should keep the default
+        # group_duplicates=True (docs/PERFORMANCE.md sort budget).
+        return counting.insert(st, f.hashes, f.valid,
+                               group_duplicates=False).counters
 
     @jax.jit
     def counting_query(counters, codes):
@@ -276,31 +282,20 @@ def mibf_rates():
     def phase3_fn(m0):
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def phase3(data, counts, hi, lo, valid, ids):
-            def step(dc, inp):
-                d, c = dc
-                fhi, flo, v, idv = inp
-                mm = dataclasses.replace(m0, data=d)
-                mm, c = construct.insert_mibf(mm, c, U64(fhi, flo), idv,
-                                              valid=v)
-                return (mm.data, c), None
-            (d, c), _ = lax.scan(step, (data, counts),
-                                 (hi, lo, valid, ids))
-            return d, c
+            mm = dataclasses.replace(m0, data=data)
+            mm, c = construct.insert_mibf_many(mm, counts, U64(hi, lo),
+                                               ids, valid=valid)
+            return mm.data, c
         return phase3
 
     def phase4_fn(m0):
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def phase4(data, counts, hi, lo, valid, ids):
-            def step(dc, inp):
-                d, c = dc
-                fhi, flo, v, idv = inp
-                mm = dataclasses.replace(m0, data=d)
-                mm, c = construct.insert_saturation(mm, c, U64(fhi, flo),
-                                                    idv, valid=v)
-                return (mm.data, c), None
-            (d, c), _ = lax.scan(step, (data, counts),
-                                 (hi, lo, valid, ids))
-            return d, c
+            mm = dataclasses.replace(m0, data=data)
+            mm, c = construct.insert_saturation_many(mm, counts,
+                                                     U64(hi, lo), ids,
+                                                     valid=valid)
+            return mm.data, c
         return phase4
 
     ids = jnp.arange(1, NREFS + 1, dtype=jnp.int32)

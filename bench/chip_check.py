@@ -107,6 +107,14 @@ def main():
     check("c_insert", ck, cx)
     cbf2 = dataclasses.replace(cbf, counters=cx)
 
+    # tier-1 (ungrouped) decompose, the bench counting-insert path: both
+    # kernel and XLA variants must match the grouped result on hardware
+    ct1_k, ct1_x = jit2(
+        lambda uk: counting.insert(cbf, f.hashes, f.valid, use_kernel=uk,
+                                   group_duplicates=False).counters)
+    check("c_insert_tier1_kernel", ct1_k(), cx)
+    check("c_insert_tier1_xla", ct1_x(), cx)
+
     call_k, call_x = jit2(
         lambda uk: counting.insert_all(cbf2, f.hashes, f.valid,
                                        use_kernel=uk).counters)

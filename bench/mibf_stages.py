@@ -83,15 +83,10 @@ def main():
 
     @jax.jit
     def phase3(data, counts, hi, lo, valid, ids):
-        def step(dc, inp):
-            d, c = dc
-            fhi, flo, v, idv = inp
-            mm = dataclasses.replace(m0, data=d)
-            mm, c = construct.insert_mibf(mm, c, U64(fhi, flo), idv,
-                                          valid=v)
-            return (mm.data, c), None
-        (d, c), _ = lax.scan(step, (data, counts), (hi, lo, valid, ids))
-        return d, c
+        mm = dataclasses.replace(m0, data=data)
+        mm, c = construct.insert_mibf_many(mm, counts, U64(hi, lo), ids,
+                                           valid=valid)
+        return mm.data, c
 
     res["phase3_ms"] = timed(phase3, m0.data, counts0, hi, lo, valid, ids)
     data3, counts3 = phase3(m0.data, counts0, hi, lo, valid, ids)
@@ -109,15 +104,10 @@ def main():
 
     @jax.jit
     def phase4(data, counts, hi, lo, valid, ids):
-        def step(dc, inp):
-            d, c = dc
-            fhi, flo, v, idv = inp
-            mm = dataclasses.replace(m0, data=d)
-            mm, c = construct.insert_saturation(mm, c, U64(fhi, flo), idv,
-                                                valid=v)
-            return (mm.data, c), None
-        (d, c), _ = lax.scan(step, (data, counts), (hi, lo, valid, ids))
-        return d, c
+        mm = dataclasses.replace(m0, data=data)
+        mm, c = construct.insert_saturation_many(mm, counts, U64(hi, lo),
+                                                 ids, valid=valid)
+        return mm.data, c
 
     res["phase4_ms"] = timed(phase4, data3, counts3, hi, lo, valid, ids)
 
@@ -168,8 +158,8 @@ def main():
 
     @jax.jit
     def scan_only(raw, hit, usable, misses, mc, qvalid):
-        return mq.query_scan_batch(m, raw, hit, usable, misses, mc,
-                                   NUM_IDS, 10**6, frame_eval=qvalid)
+        return mq.query_frames_batch(m, raw, hit, usable, misses, mc,
+                                     NUM_IDS, 10**6, frame_eval=qvalid)
 
     res2["scan_ms"] = timed(scan_only, raw, hit, usable, misses, mc,
                             qvalid)

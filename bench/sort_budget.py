@@ -110,6 +110,16 @@ def main():
                                          cbf.counters_per_word)
 
     res["full_step_ms"] = timed(full, cbf.counters, pos, reps=5)
+
+    @jax.jit
+    def full_t1(words, p):
+        return counting.insert_positions(words, p,
+                                         jnp.ones((N,), bool),
+                                         cbf.counter_max, cbf.size,
+                                         cbf.counters_per_word,
+                                         group=False)
+
+    res["full_step_tier1_ms"] = timed(full_t1, cbf.counters, pos, reps=5)
     print(json.dumps({k: round(v, 2) for k, v in res.items()}), flush=True)
 
 

@@ -198,6 +198,54 @@ class MIBFConstructPipeline:
                                jnp.uint32(int(id_value)))
         self.m = _with_data(self.m, data)
 
+    def insert_mibf_batch(self, codes_list, ids) -> None:
+        """Phase 3 for MANY sequences in one dispatch
+        (mibf_construct.insert_mibf_many): bit-identical to calling
+        insert_mibf_seq per sequence in id order, at a fraction of the
+        per-call fixed cost. Reads shorter than k contribute nothing
+        (their windows hash invalid)."""
+        fr = self.hash.frames_batch(codes_list)
+        key = ("many", fr.valid.shape)
+        fn = self._ins.get(key)
+        if fn is None:
+            m0 = self.m
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def step(data, counts, hi, lo, valid, idvec):
+                mm = _with_data(m0, data)
+                mm, cc = mibf_construct.insert_mibf_many(
+                    mm, counts, U64(hi, lo), idvec, valid)
+                return mm.data, cc
+
+            fn = self._ins[key] = step
+        data, self.counts = fn(self.m.data, self.counts, fr.hashes.hi,
+                               fr.hashes.lo, fr.valid,
+                               jnp.asarray(list(ids), jnp.int32))
+        self.m = _with_data(self.m, data)
+
+    def insert_saturation_batch(self, codes_list, ids) -> None:
+        """Phase 4 for MANY sequences in one dispatch
+        (mibf_construct.insert_saturation_many): bit-identical to calling
+        insert_saturation_seq per sequence in id order."""
+        fr = self.hash.frames_batch(codes_list)
+        key = ("many", fr.valid.shape)
+        fn = self._sat.get(key)
+        if fn is None:
+            m0 = self.m
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def step(data, counts, hi, lo, valid, idvec):
+                mm = _with_data(m0, data)
+                mm, cc = mibf_construct.insert_saturation_many(
+                    mm, counts, U64(hi, lo), idvec, valid)
+                return mm.data, cc
+
+            fn = self._sat[key] = step
+        data, self.counts = fn(self.m.data, self.counts, fr.hashes.hi,
+                               fr.hashes.lo, fr.valid,
+                               jnp.asarray(list(ids), jnp.int32))
+        self.m = _with_data(self.m, data)
+
     def insert_saturation_seq(self, codes: np.ndarray, id_value: int) -> None:
         fr = self.hash.frames(codes)
         if fr is None:

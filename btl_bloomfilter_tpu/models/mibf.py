@@ -117,14 +117,22 @@ def calc_prob_single_frame(occupancy: float, hash_num: int, freq: float,
 # construction from a frozen bit vector
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _freeze_rank(bv_words: jax.Array):
+    pops = jax.lax.population_count(bv_words).astype(jnp.uint32)
+    return jnp.cumsum(pops) - pops, jnp.sum(pops)
+
+
 def freeze(bv_words: jax.Array, size: int, hash_num: int, kmer_size: int,
            data_width: int = 2, sseeds: Sequence[str] = ()) -> MIBloomFilter:
     """Build the rank structure and empty ID array from a populated bit
     vector — the analog of the MIBloomFilter(bv) constructor
     (MIBloomFilter.hpp:122-147)."""
-    pops = jax.lax.population_count(bv_words)
-    cum = jnp.cumsum(pops.astype(jnp.uint32)) - pops.astype(jnp.uint32)
-    d_size = int(jnp.sum(pops))
+    # one fused dispatch + one scalar readback (eager ops cost ~100 ms
+    # each over the remote-TPU tunnel; the un-jitted version measured
+    # 2.2 s of the 2.6 s 4-phase build — bench/mibf_stages.py r5)
+    cum, total = _freeze_rank(bv_words)
+    d_size = int(total)
     if data_width == 8:
         data = jnp.zeros((2, d_size), jnp.uint32)   # [lo, hi] planes
     else:

@@ -246,18 +246,35 @@ def reservoir_core(data: jax.Array, counts: jax.Array, rank: jax.Array,
     (MIBFConstructSupport.hpp:120-129) over value-sorted unique hashes
     with precomputed ranks; shared by the single-device and sharded
     (parallel/dist_mibf.py) paths. ``rank`` entries of masked values must
-    already be the d_size sentinel. Returns (data, counts)."""
+    already be the d_size sentinel. Returns (data, counts).
+
+    ``id_value`` may be a scalar (one sequence) or an int32 array aligned
+    with the input elements (the multi-sequence batch of
+    :func:`insert_mibf_many`: elements must arrive id-major, each id's
+    values sorted — the stable rank sort then reproduces the sequential
+    per-id processing order inside every rank group)."""
     width_bits = 8 * data_width
     n = hi_s.shape[0]
     rank = jnp.where(keep, rank, jnp.int32(d_size))  # sentinel rank
+    id_is_vec = hasattr(id_value, "shape") and getattr(
+        id_value, "ndim", 0) > 0
 
     # order by (rank, value): values are already sorted, so a stable sort
-    # on rank preserves value order within each rank group
-    order = jnp.argsort(rank, stable=True)
-    rank_o = rank[order]
-    keep_o = keep[order]
-    hi_o = hi_s[order]
-    lo_o = lo_s[order]
+    # on rank preserves value order within each rank group. ONE stable
+    # sort with payload operands — the argsort + five x[order] gathers
+    # it replaces were five 4.1M-element XLA random gathers (~60 ms
+    # each on chip; bench/mibf_stages.py r5)
+    if id_is_vec:
+        rank_o, hi_o, lo_o, keep8, id_o = jax.lax.sort(
+            (rank, hi_s, lo_s, keep.astype(jnp.uint8),
+             jnp.asarray(id_value, jnp.int32)),
+            num_keys=1, is_stable=True)
+    else:
+        rank_o, hi_o, lo_o, keep8 = jax.lax.sort(
+            (rank, hi_s, lo_s, keep.astype(jnp.uint8)),
+            num_keys=1, is_stable=True)
+        id_o = id_value
+    keep_o = keep8 == 1
 
     # within-group index: i - start_of_group
     idx = jnp.arange(n)
@@ -284,12 +301,15 @@ def reservoir_core(data: jax.Array, counts: jax.Array, rank: jax.Array,
     # id_value may be a python int or a traced scalar.
     safe_count = jnp.maximum(count_val, 1)
     if width_bits >= 64:
+        if id_is_vec:
+            raise NotImplementedError(
+                "width-8 reservoir takes one id per call")
         idi = int(id_value)
         vx = U64(hi_o ^ jnp.uint32((idi >> 32) & 0xFFFFFFFF),
                  lo_o ^ jnp.uint32(idi & 0xFFFFFFFF))
         hmod = u64.mod_u32(vx, safe_count)
     else:
-        id32 = jnp.asarray(id_value, jnp.uint32)
+        id32 = jnp.asarray(id_o, jnp.uint32)
         vx_lo = lo_o ^ id32
         if width_bits >= 32:
             hval = vx_lo  # T is uint32: low limb
@@ -298,51 +318,111 @@ def reservoir_core(data: jax.Array, counts: jax.Array, rank: jax.Array,
         hmod = hval % safe_count
     accepted = keep_o & (count_val != 0) & (hmod == (count_val - 1))
 
-    # last accepted within each group wins (later setData overwrites)
-    win_idx = _blocked_scan(jnp.maximum, jnp.where(accepted, idx, -1), -1)
-    # at group ends, win_idx holds the last accepted index of that group;
-    # an element is the winner iff it is accepted and no later element of
-    # its group is accepted: equivalently idx == segment_max(accepted idx)
+    # last accepted within each group wins (later setData overwrites):
+    # an element is the winner iff it is accepted and no LATER element of
+    # its group is accepted — gather-free via one reverse blocked scan
+    # (next accepted index at-or-after i+1 vs the group's end; the
+    # segment_max + two gathers this replaces were 4.1M random lookups)
     is_end = jnp.ones(n, bool).at[:-1].set(rank_o[1:] != rank_o[:-1])
-    # segment max from the scan is only correct at group ends; broadcast it
-    # back via reverse cummax of group ids... simpler: compute per-element
-    # segment maximum with a second pass keyed by group_start
-    seg_max = jax.ops.segment_max(
-        jnp.where(accepted, idx, -1), group_start, num_segments=n,
-        indices_are_sorted=True)
-    winner = accepted & (seg_max[group_start] == idx)
+    run_end = _blocked_scan(jnp.minimum, jnp.where(is_end, idx, n - 1),
+                            n - 1, reverse=True)
+    next_acc = _blocked_scan(jnp.minimum, jnp.where(accepted, idx, n), n,
+                             reverse=True)
+    next_acc_after = jnp.concatenate(
+        [next_acc[1:], jnp.full((1,), n, next_acc.dtype)])
+    winner = accepted & (next_acc_after > run_end)
 
     ranks_to_set = jnp.where(winner, rank_o, jnp.int32(d_size))
     # setData semantics: overwrite ID, preserve saturation bit
-    # (MIBloomFilter.hpp:625-634); later duplicates win
-    if width_bits >= 64:
-        idi = int(id_value)
-        id_lo = jnp.uint32(idi & 0xFFFFFFFF)
-        id_hi = jnp.uint32((idi >> 32) & 0xFFFFFFFF)
-        keep_sat = data[1] & jnp.uint32(mibf_mod.SAT_HI)
-        lo = data[0].at[ranks_to_set].set(id_lo, mode="drop")
-        hi = data[1].at[ranks_to_set].set(id_hi, mode="drop")
-        touched = jnp.zeros(lo.shape[0], bool).at[ranks_to_set].set(
-            True, mode="drop")
-        hi = jnp.where(touched, hi | keep_sat, hi)
-        data = jnp.stack([lo, hi])
-        nranks = lo.shape[0]
-    else:
-        ids = jnp.full(n, 0, data.dtype) + jnp.asarray(id_value, data.dtype)
+    # (MIBloomFilter.hpp:625-634); later duplicates win.
+    # Widths <= 4 write via a WINNER PLANE built with a monotone sorted
+    # scatter-add (rank_o ascends; each rank receives at most one
+    # nonzero): a sentinel-masked .set here is an unsorted random
+    # scatter, measured ~70 ns/index on chip — ~300 of the 388 ms
+    # phase-3 pass at the bench scale (bench/mibf_stages.py r5).
+    if width_bits < 64:
+        # 0 = no winner (id 2**32-1 would wrap, but it is not a valid ID
+        # at any width <= 4: its top bit is the saturation flag)
+        idp1 = jnp.asarray(id_o, jnp.uint32) + 1
+        win_plane = jnp.zeros(d_size + 1, jnp.uint32).at[rank_o].add(
+            jnp.where(winner, idp1, 0), indices_are_sorted=True,
+            mode="drop")[:d_size]
         smask = jnp.asarray((1 << (width_bits - 1)),
                             jnp.uint32).astype(data.dtype)
-        keep_sat = data & smask
-        data = data.at[ranks_to_set].set(ids, mode="drop")
-        touched = jnp.zeros(data.shape[0], bool).at[ranks_to_set].set(
-            True, mode="drop")
-        data = jnp.where(touched, data | keep_sat, data)
+        won = win_plane > 0
+        new_id = (win_plane - 1).astype(data.dtype)
+        data = jnp.where(won, new_id | (data & smask), data)
         nranks = data.shape[0]
+        add = jnp.zeros(nranks + 1, jnp.uint32).at[rank_o].add(
+            keep_o.astype(jnp.uint32), indices_are_sorted=True,
+            mode="drop")[:nranks]
+        counts = (counts.astype(jnp.uint32) + add).astype(counts.dtype)
+        return data, counts
+    # width 8: dual-plane writes (the rare instantiation keeps the
+    # simple masked scatters)
+    idi = int(id_value)
+    id_lo = jnp.uint32(idi & 0xFFFFFFFF)
+    id_hi = jnp.uint32((idi >> 32) & 0xFFFFFFFF)
+    keep_sat = data[1] & jnp.uint32(mibf_mod.SAT_HI)
+    lo = data[0].at[ranks_to_set].set(id_lo, mode="drop")
+    hi = data[1].at[ranks_to_set].set(id_hi, mode="drop")
+    touched = jnp.zeros(lo.shape[0], bool).at[ranks_to_set].set(
+        True, mode="drop")
+    hi = jnp.where(touched, hi | keep_sat, hi)
+    data = jnp.stack([lo, hi])
+    nranks = lo.shape[0]
 
     # counts[rank] += group_size for each touched rank (wraps in T)
     add = jnp.zeros(nranks, jnp.uint32).at[rank_o].add(
         keep_o.astype(jnp.uint32), mode="drop", indices_are_sorted=True)
     counts = (counts.astype(jnp.uint32) + add).astype(counts.dtype)
     return data, counts
+
+
+def insert_mibf_many(m: MIBloomFilter, counts: jax.Array, hashes: U64,
+                     ids, valid=None, use_kernel: bool | None = None):
+    """Phase 3 for a whole BATCH of sequences in one dispatch: hashes
+    U64[G, W, h] with per-sequence ids int32[G] (stream order = ascending
+    G), valid bool[G, W]. Bit-identical to calling :func:`insert_mibf`
+    per sequence in order: each sequence's unique values process in
+    sorted order, and rank groups interleave sequences in id-major order
+    (the stable rank sort preserves the concatenation order, which IS
+    the sequential processing order).
+
+    One unique-sort per sequence (batched), ONE rank lookup and ONE
+    reservoir pass over the concatenated stream — the 63-call scan at
+    the bench geometry measured 365 ms (5.8 ms/ref of fixed per-call
+    sort/gather/scatter cost, bench/mibf_stages.py r5); this path does
+    the same work in a single set of full-size passes."""
+    G = hashes.hi.shape[0]
+    flat_shape = (G, -1)
+    hi2 = hashes.hi.reshape(G, -1)
+    lo2 = hashes.lo.reshape(G, -1)
+    if valid is not None:
+        v2 = jnp.broadcast_to(jnp.asarray(valid)[..., None],
+                              hashes.hi.shape).reshape(G, -1)
+        hi2 = jnp.where(v2, hi2, jnp.uint32(0xFFFFFFFF))
+        lo2 = jnp.where(v2, lo2, jnp.uint32(0xFFFFFFFF))
+    # per-sequence value sort + dedupe (batched along G)
+    hi_s, lo_s = jax.lax.sort((hi2, lo2), num_keys=2, is_stable=False,
+                              dimension=-1)
+    first = jnp.ones(hi_s.shape, bool)
+    neq = (hi_s[:, 1:] != hi_s[:, :-1]) | (lo_s[:, 1:] != lo_s[:, :-1])
+    keep = first.at[:, 1:].set(neq)
+    sent = (hi_s == jnp.uint32(0xFFFFFFFF)) & \
+        (lo_s == jnp.uint32(0xFFFFFFFF))
+    keep = keep & ~sent
+    idvec = jnp.repeat(jnp.asarray(ids, jnp.int32), hi_s.shape[1])
+
+    hi_f = hi_s.reshape(-1)
+    lo_f = lo_s.reshape(-1)
+    keep_f = keep.reshape(-1)
+    pos = mibf_mod.positions(m, U64(hi_f, lo_f))
+    rank, _hit = mibf_mod.rank_of_positions_auto(m, pos,
+                                                 use_kernel=use_kernel)
+    data, counts = reservoir_core(m.data, counts, rank, hi_f, lo_f,
+                                  keep_f, idvec, m.d_size, m.data_width)
+    return dataclasses.replace(m, data=data), counts
 
 
 def _phase4_ranks(m: MIBloomFilter, hashes: U64, valid):
@@ -492,7 +572,8 @@ def insert_saturation_sequential(m: MIBloomFilter, counts: jax.Array,
 
 def saturation_ranks(data: jax.Array, counts: jax.Array, rk: jax.Array,
                      v: jax.Array, d_size: int, data_width: int,
-                     id_value, max_entangled: int | None = None):
+                     id_value, max_entangled: int | None = None,
+                     domain_size: int | None = None):
     """Rank-level core of the batched phase 4 (setSatIfMissing,
     MIBFConstructSupport.hpp:168-214): apply one saturation pass of
     ``id_value`` over frames ``rk`` (int32[n, h] ranks < d_size, invalid
@@ -568,7 +649,20 @@ def saturation_ranks(data: jax.Array, counts: jax.Array, rk: jax.Array,
         data0, counts0, rk_rep, rep, d_size, s_mask, id_value)
 
     # --- 4. sequential replay of entangled frames in stream order --------
-    cap = max_entangled if max_entangled is not None else max(256, n // 8)
+    if max_entangled is not None:
+        cap = max_entangled
+    else:
+        # expected shared-rank pairs across the batch; collisions are
+        # driven by the HASH-POSITION domain (the bit-vector size), NOT
+        # the rank space — at ~1 slot/rank occupancy the d_size-based
+        # estimate degenerated to cap == n and the replay re-processed
+        # the whole batch (bench/mibf_stages.py r5). The replay scan
+        # runs cap PADDED steps, so the buffer sizes to the expectation
+        # with a 2x + 64 margin, falling back to the exact full scan on
+        # overflow.
+        dom = domain_size if domain_size is not None else d_size
+        expected = (n * h) ** 2 // (2 * max(dom, 1))
+        cap = max(64, 2 * expected + 64)
     cap = min(cap, n)
     n_ent = jnp.sum(entangled_s.astype(jnp.int32))
     ent_key = jnp.where(entangled_s, frame_of, jnp.int32(n))
@@ -597,18 +691,20 @@ def _phase4_vectorized(data, cnts, rk_rows, apply_mask, d_size: int,
                        s_mask: int, id_value):
     """Apply one setSatIfMissing step to every masked row of ``rk_rows``
     at once; rows must touch pairwise-disjoint rank sets (guaranteed by
-    the untangled-group selection)."""
+    the untangled-group selection). ``id_value`` may be a scalar or a
+    per-row vector (the multi-sequence batch)."""
     s_anti = s_mask - 1
     smask = jnp.asarray(s_mask, data.dtype)
     anti = jnp.asarray(s_anti, data.dtype)
     idv = jnp.asarray(id_value, data.dtype)
     g, h = rk_rows.shape
+    idv_col = idv[:, None] if idv.ndim else idv
 
     safe_rk = jnp.where(apply_mask[:, None], rk_rows, 0).astype(jnp.int32)
     safe_rk = jnp.clip(safe_rk, 0, max(d_size - 1, 0))
     results = data[safe_rk]                            # [G, h]
     cur = results & anti
-    value_found = jnp.any(cur == idv, axis=-1)
+    value_found = jnp.any(cur == idv_col, axis=-1)
 
     iota = jnp.arange(h)
     earlier = iota[None, :] < iota[:, None]            # [i, j]: j before i
@@ -640,6 +736,180 @@ def _phase4_vectorized(data, cnts, rk_rows, apply_mask, d_size: int,
     return data, cnts
 
 
+def saturation_ranks_many(data: jax.Array, counts: jax.Array,
+                          rk: jax.Array, v: jax.Array, ids: jax.Array,
+                          d_size: int, data_width: int,
+                          max_entangled: int | None = None,
+                          domain_size: int | None = None):
+    """Batched phase 4 over frames carrying PER-FRAME ids (the
+    multi-sequence build): same group-collapse as
+    :func:`saturation_ranks` with the id joining the group key (frames
+    of different ids are never interchangeable), and the entangled
+    replay depth-SCHEDULED like the counting filter's
+    (counting._replay_schedule): same-depth frames are pairwise
+    rank-disjoint, so each depth applies as ONE vectorized
+    setSatIfMissing instead of a per-frame scan step. Bit-identical to
+    processing the frames one at a time in stream order."""
+    from . import counting as counting_mod
+
+    n, h = rk.shape
+    width_bits = 8 * data_width
+    s_mask = 1 << (width_bits - 1)
+    sentr = jnp.int32(d_size)
+    rk = jnp.where(v[:, None], rk, sentr)
+    ids = jnp.asarray(ids, jnp.int32)
+
+    # --- group by (ordered rank tuple, id) -------------------------------
+    order0 = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        tuple(rk[:, j] for j in range(h)) + (ids, order0),
+        num_keys=h + 1)
+    ks = jnp.stack(sorted_ops[:h], axis=1)
+    gids_sorted = sorted_ops[h]
+    frame_of = sorted_ops[h + 1]
+    new_grp = jnp.ones((n,), bool).at[1:].set(
+        jnp.any(ks[1:] != ks[:-1], axis=1)
+        | (gids_sorted[1:] != gids_sorted[:-1]))
+
+    gid = _blocked_scan(jnp.add, new_grp.astype(jnp.int32), 0) - 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    run_start = _blocked_scan(jnp.maximum, jnp.where(new_grp, idx, 0), 0)
+    is_last = jnp.ones((n,), bool).at[:-1].set(new_grp[1:])
+    run_end = _blocked_scan(jnp.minimum, jnp.where(is_last, idx, n - 1),
+                            n - 1, reverse=True)
+
+    # --- entanglement: ranks shared across groups ------------------------
+    pair_rank = ks.reshape(-1)
+    pair_gid = jnp.repeat(gid, h)
+    pidx = jnp.arange(n * h, dtype=jnp.uint32)
+    pr_s, pg_s, pi_s = jax.lax.sort((pair_rank, pair_gid, pidx),
+                                    num_keys=1)
+    shared_prev = jnp.zeros((n * h,), bool).at[1:].set(
+        (pr_s[1:] == pr_s[:-1]) & (pg_s[1:] != pg_s[:-1])
+        & (pr_s[1:] != sentr))
+    shared = shared_prev | jnp.concatenate(
+        [shared_prev[1:], jnp.zeros(1, bool)])
+    packed = jnp.sort((pi_s << 1) | shared.astype(jnp.uint32))
+    frame_shared = jnp.any((packed & 1).reshape(n, h) == 1, axis=1)
+    last_shared = _blocked_scan(jnp.maximum,
+                                jnp.where(frame_shared, idx, -1), -1)
+    next_shared = _blocked_scan(jnp.minimum,
+                                jnp.where(frame_shared, idx, n), n,
+                                reverse=True)
+    entangled_s = (last_shared >= run_start) | (next_shared <= run_end)
+    live_s = ks[:, 0] != sentr
+    entangled_s = entangled_s & live_s
+
+    # --- vectorized untangled representatives ----------------------------
+    rep = new_grp & live_s & ~entangled_s
+    data0, counts0 = data, counts
+    data, counts = _phase4_vectorized(
+        data0, counts0, rk[frame_of], rep, d_size, s_mask, ids[frame_of])
+
+    # --- depth-scheduled replay of entangled frames ----------------------
+    if max_entangled is not None:
+        cap = max_entangled
+    else:
+        # collision statistics live in the hash-position domain (see
+        # saturation_ranks)
+        dom = domain_size if domain_size is not None else d_size
+        expected = (n * h) ** 2 // (2 * max(dom, 1))
+        cap = max(64, 2 * expected + 64)
+    cap = min(cap, n)
+    n_ent = jnp.sum(entangled_s.astype(jnp.int32))
+    ent_key = jnp.where(entangled_s, frame_of, jnp.int32(n))
+    ent_sorted = jax.lax.sort(ent_key)[:cap]
+    safe_src = jnp.minimum(ent_sorted, n - 1)
+    ent_rk = rk[safe_src]
+    ent_id = ids[safe_src]
+    ent_ok = ent_sorted < n
+    ent_rk = jnp.where(ent_ok[:, None], ent_rk, sentr)
+
+    def replay(dc):
+        d, c = dc
+        depth, max_depth, sched_ok = counting_mod._replay_schedule(
+            ent_rk.astype(jnp.uint32), n_ent, jnp.uint32(d_size))
+
+        def rounds(dc):
+            def rbody(st):
+                r, d, c = st
+                on = depth == r
+                d2, c2 = _phase4_vectorized(d, c, ent_rk, on & ent_ok,
+                                            d_size, s_mask, ent_id)
+                return r + 1, d2, c2
+
+            _, d2, c2 = jax.lax.while_loop(
+                lambda st: st[0] <= max_depth, rbody,
+                (jnp.int32(1),) + dc)
+            return d2, c2
+
+        def seq(dc):
+            step = _phase4_step_fn_vec(d_size, data_width)
+            stop = jnp.minimum(n_ent, jnp.int32(cap))
+
+            def body(st):
+                i, d, c = st
+                rkf = jax.lax.dynamic_index_in_dim(ent_rk, i, axis=0,
+                                                   keepdims=False)
+                idf = jax.lax.dynamic_index_in_dim(ent_id, i, axis=0,
+                                                   keepdims=False)
+                (d2, c2), _ = step((d, c), (rkf, jnp.bool_(True), idf))
+                return i + 1, d2, c2
+
+            _, d2, c2 = jax.lax.while_loop(lambda st: st[0] < stop, body,
+                                           (jnp.int32(0),) + dc)
+            return d2, c2
+
+        return jax.lax.cond(sched_ok, rounds, seq, (d, c))
+
+    data, counts = jax.lax.cond(n_ent > 0, replay, lambda dc: dc,
+                                (data, counts))
+
+    # cap overflow: redo everything sequentially (exact)
+    def full_sequential(_):
+        step = _phase4_step_fn_vec(d_size, data_width)
+        out, _ = jax.lax.scan(step, (data0, counts0), (rk, v, ids))
+        return out
+
+    return jax.lax.cond(n_ent > cap, full_sequential,
+                        lambda _: (data, counts), None)
+
+
+def _phase4_step_fn_vec(d_size: int, data_width: int):
+    """Per-frame setSatIfMissing step taking the id as a scanned input
+    (the multi-sequence sequential fallback)."""
+    def step(carry, inp):
+        rk, ok, idv = inp
+        base = _phase4_step_fn(d_size, data_width, idv)
+        return base(carry, (rk, ok))
+    return step
+
+
+def insert_saturation_many(m: MIBloomFilter, counts: jax.Array,
+                           hashes: U64, ids, valid=None,
+                           max_entangled: int | None = None,
+                           use_kernel: bool | None = None):
+    """Phase 4 for a whole batch of sequences in one dispatch: hashes
+    U64[G, W, h], per-sequence ids int32[G], valid bool[G, W]; stream
+    order = ascending (G, W). Bit-identical to per-sequence
+    :func:`insert_saturation` calls in id order (asserted in
+    tests/test_mibf.py)."""
+    G, W = hashes.hi.shape[0], hashes.hi.shape[1]
+    h = hashes.hi.shape[-1]
+    pos = mibf_mod.positions(m, hashes).reshape(-1, h)
+    rank, _hit = mibf_mod.rank_of_positions_auto(m, pos,
+                                                 use_kernel=use_kernel)
+    if valid is None:
+        v = jnp.ones((G * W,), bool)
+    else:
+        v = jnp.broadcast_to(jnp.asarray(valid), (G, W)).reshape(-1)
+    idvec = jnp.repeat(jnp.asarray(ids, jnp.int32), W)
+    data, counts = saturation_ranks_many(
+        m.data, counts, rank.reshape(-1, h), v, idvec, m.d_size,
+        m.data_width, max_entangled, domain_size=m.size)
+    return dataclasses.replace(m, data=data), counts
+
+
 def insert_saturation(m: MIBloomFilter, counts: jax.Array, hashes: U64,
                       id_value: int, valid=None,
                       max_entangled: int | None = None):
@@ -659,7 +929,8 @@ def insert_saturation(m: MIBloomFilter, counts: jax.Array, hashes: U64,
         return insert_saturation_sequential(m, counts, hashes, id_value,
                                             valid)
     data, counts = saturation_ranks(m.data, counts, rk, v, m.d_size,
-                                    m.data_width, id_value, max_entangled)
+                                    m.data_width, id_value, max_entangled,
+                                    domain_size=m.size)
     return dataclasses.replace(m, data=data), counts
 
 

@@ -532,7 +532,7 @@ class ShardedMIBFQuerySupport:
         key = (raw.shape, num_ids, frame_eval is not None)
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = jax.jit(partial(mq.query_scan_batch, num_ids=num_ids,
+            fn = jax.jit(partial(mq.query_frames_batch, num_ids=num_ids,
                                  extra_frame_limit=self.extra_frame_limit,
                                  st_mode=st_mode))
             self._jit_cache[key] = fn
@@ -545,11 +545,12 @@ class ShardedMIBFQuerySupport:
             out = fn(self.m, raw, hit, usable, misses,
                      jnp.asarray(min_count_vec, jnp.int32),
                      frame_eval=jnp.asarray(frame_eval))
-        counts = np.asarray(out["counts"])
-        cands = np.asarray(out["candidates"])
-        bests = np.asarray(out["best"])
-        self.sat_count = int(np.sum(np.asarray(out["sat_count"])))
-        self.eval_count = int(np.sum(np.asarray(out["eval_count"])))
+        out = jax.device_get(out)        # one host transfer for the dict
+        counts = out["counts"]
+        cands = out["candidates"]
+        bests = out["best"]
+        self.sat_count = int(np.sum(out["sat_count"]))
+        self.eval_count = int(np.sum(out["eval_count"]))
         return [mq.summarize(counts[r], cands[r], bests[r],
                              self.per_frame_prob, self.min_count,
                              self.extra_count, self.best_hit_agree)

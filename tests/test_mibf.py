@@ -497,3 +497,79 @@ def test_insert_saturation_batched_matches_sequential(max_entangled):
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     # sanity: the pass really did something on both branches
     assert (np.asarray(m2.data) != np.asarray(m0.data)).any()
+
+
+def test_insert_mibf_many_matches_sequential_calls():
+    """The one-dispatch multi-sequence phase 3 must equal per-sequence
+    insert_mibf calls in id order — including rank groups shared across
+    sequences (the order-dependent reservoir interleaving)."""
+    size, h = 512, 3              # small => heavy cross-sequence sharing
+    rng = np.random.default_rng(77)
+    G, W = 5, 40
+    hashes = rng.integers(0, 1 << 64, size=(G, W, h), dtype=np.uint64)
+    hashes[1, :10] = hashes[0, :10]          # shared values across ids
+    valid = rng.random((G, W)) < 0.9
+    st = mibf_construct.BitVectorState(
+        bv_words=jnp.zeros(size // 32, jnp.uint32), filter_size=size,
+        kmer_size=11, hash_num=h, occupancy=0.5, sseeds=())
+    for g in range(G):
+        st = mibf_construct.insert_bv(st, u64.from_numpy(hashes[g]),
+                                      valid=valid[g])
+    ids = np.arange(1, G + 1, dtype=np.int32)
+
+    m1, c1 = mibf_construct.get_empty_mibf(st)
+    for g in range(G):
+        m1, c1 = mibf_construct.insert_mibf(
+            m1, c1, u64.from_numpy(hashes[g]), int(ids[g]),
+            valid=valid[g])
+
+    m2, c2 = mibf_construct.get_empty_mibf(st)
+    m2, c2 = mibf_construct.insert_mibf_many(
+        m2, c2, u64.from_numpy(hashes), ids, valid=valid)
+
+    np.testing.assert_array_equal(np.asarray(m1.data), np.asarray(m2.data))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+@pytest.mark.parametrize("max_entangled", [None, 8])
+def test_insert_saturation_many_matches_sequential_calls(max_entangled):
+    """One-dispatch multi-sequence phase 4 (per-frame ids, depth-
+    scheduled replay) == per-sequence insert_saturation calls in id
+    order, on streams with heavy cross-sequence rank sharing, duplicate
+    frames, and invalid frames (small max_entangled forces the
+    full-sequential fallback)."""
+    size, h = 512, 3
+    rng = np.random.default_rng(41)
+    G, W = 5, 30
+    hashes = rng.integers(0, 1 << 64, size=(G, W, h), dtype=np.uint64)
+    hashes[2, :8] = hashes[0, :8]            # cross-id shared frames
+    hashes[3, 5] = hashes[3, 4]              # duplicate frame same id
+    valid = rng.random((G, W)) < 0.9
+    st = mibf_construct.BitVectorState(
+        bv_words=jnp.zeros(size // 32, jnp.uint32), filter_size=size,
+        kmer_size=11, hash_num=h, occupancy=0.5, sseeds=())
+    for g in range(G):
+        st = mibf_construct.insert_bv(st, u64.from_numpy(hashes[g]),
+                                      valid=valid[g])
+    ids = np.arange(1, G + 1, dtype=np.int32)
+
+    def phase3(m, c):
+        for g in range(G):
+            m, c = mibf_construct.insert_mibf(
+                m, c, u64.from_numpy(hashes[g]), int(ids[g]),
+                valid=valid[g])
+        return m, c
+
+    m1, c1 = phase3(*mibf_construct.get_empty_mibf(st))
+    for g in range(G):
+        m1, c1 = mibf_construct.insert_saturation(
+            m1, c1, u64.from_numpy(hashes[g]), int(ids[g]),
+            valid=valid[g])
+
+    m2, c2 = phase3(*mibf_construct.get_empty_mibf(st))
+    m2, c2 = mibf_construct.insert_saturation_many(
+        m2, c2, u64.from_numpy(hashes), ids, valid=valid,
+        max_entangled=max_entangled)
+
+    np.testing.assert_array_equal(np.asarray(m1.data), np.asarray(m2.data))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))

@@ -611,3 +611,55 @@ def test_strand_carrying_classification():
     strand_total = sum(pycounts[i]["total"] for i in range(64, num_ids))
     plain_total = sum(pycounts[i]["total"] for i in range(1, 64))
     assert strand_total > 0 and plain_total > 0
+
+
+# ---------------------------------------------------------------------------
+# two-pass fast engine == reference scan engine (exact)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed,R,W,h,num_ids,efl,satfrac,missfrac,oor", [
+    (1, 3, 40, 4, 8, 10**6, 0.2, 0.0, False),
+    (2, 4, 57, 3, 8, 3, 0.3, 0.2, False),       # early exit + misses
+    (3, 2, 33, 4, 5, 0, 0.5, 0.3, True),        # tiny efl + out-of-range
+    (4, 5, 64, 2, 16, 7, 0.0, 0.0, False),
+    (5, 1, 128, 4, 64, 10**6, 0.1, 0.1, False),
+])
+def test_fast_engine_matches_scan(seed, R, W, h, num_ids, efl, satfrac,
+                                  missfrac, oor):
+    """query_frames_batch (two-pass vectorized) must produce the exact
+    same dict as query_scan_batch on adversarial frame tables: saturated
+    values, duplicate raws within frames, misses, invalid frames, early
+    exits, and out-of-range ids aliasing the clipped id's counts."""
+    from btl_bloomfilter_tpu.models.mibf_query import (
+        query_frames_batch, query_scan_batch)
+
+    rng = np.random.default_rng(seed)
+    m, _ = build_filter(size=1024, h=h, n=50, seed=seed)
+    smask = m.s_mask
+    ids = rng.integers(0, num_ids, size=(R, W, h)).astype(np.uint32)
+    if oor:
+        alien = rng.random((R, W, h)) < 0.15
+        ids = np.where(alien, ids + np.uint32(num_ids + 3), ids)
+    sat = rng.random((R, W, h)) < satfrac
+    raw = np.where(sat, ids | np.uint32(smask), ids)
+    # duplicate raws inside some frames
+    dup = rng.random((R, W)) < 0.3
+    raw[dup, 1] = raw[dup, 0]
+    hit = rng.random((R, W, h)) >= missfrac
+    raw = np.where(hit, raw, 0)
+    misses = (~hit).sum(axis=-1).astype(np.int32)
+    valid = rng.random((R, W)) < 0.9
+    usable = valid & (misses <= 1)
+    mc = rng.integers(1, 4, size=num_ids).astype(np.int32)
+    ev = valid
+
+    args = (m, jnp.asarray(raw), jnp.asarray(hit), jnp.asarray(usable),
+            jnp.asarray(misses), jnp.asarray(mc), num_ids, efl)
+    a = query_scan_batch(*args, frame_eval=jnp.asarray(ev))
+    for chunk in (1, 4, 16):
+        b = query_frames_batch(*args, frame_eval=jnp.asarray(ev),
+                               chunk=chunk)
+        for k in ("counts", "candidates", "best", "sat_count",
+                  "eval_count"):
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=f"{k}")

@@ -62,10 +62,16 @@ def main():
     print(f"bit vector: {pipe.state.filter_size} bits, pop {m.d_size} "
           f"({m.d_size / pipe.state.filter_size:.3f} occupancy)")
 
-    for idv, codes in enumerate(encoded, start=1):
-        pipe.insert_mibf_seq(codes, idv)
-    for idv, codes in enumerate(encoded, start=1):
-        pipe.insert_saturation_seq(codes, idv)
+    # phases 3+4 batched across records (stream order preserved; chunked
+    # so one dispatch never pads an enormous record count to one bucket)
+    CHUNK = 256
+    for lo_i in range(0, len(encoded), CHUNK):
+        batch = encoded[lo_i: lo_i + CHUNK]
+        pipe.insert_mibf_batch(batch, range(lo_i + 1, lo_i + 1 + len(batch)))
+    for lo_i in range(0, len(encoded), CHUNK):
+        batch = encoded[lo_i: lo_i + CHUNK]
+        pipe.insert_saturation_batch(batch,
+                                     range(lo_i + 1, lo_i + 1 + len(batch)))
     m = pipe.m
     print(f"built in {time.time() - t0:.2f}s; saturated entries: "
           f"{int(mibf.get_pop_saturated(m))}")
