@@ -205,21 +205,19 @@ def rank_of_positions_kernel(mibf: MIBloomFilter, pos_flat: jax.Array):
 
 def _data_u32_words(mibf: MIBloomFilter) -> jax.Array:
     """Pack the ID array into little-endian uint32 words for the windowed
-    gather kernel (1-D strided slices + shifts — a reshape bitcast would
-    tile the minor dim to 128 lanes, a 32x padding blow-up; see
-    counting._as_u32_words)."""
+    gather kernel via a trailing-axis bitcast (uintN[k, per] -> uint32[k]
+    little-endian — exactly the packed-word layout). The 1-D strided
+    slice+shift formulation this replaces measured 31.8 of the 43.6 ms
+    rank+data kernel at the classify bench geometry (strided sub-word
+    access fights the TPU tiled layout; bench/prep_probe.py r5)."""
     per = 4 // mibf.data_width
     if per == 1:
         return mibf.data.astype(jnp.uint32)
-    bits = 8 * mibf.data_width
-    d = mibf.data.astype(jnp.uint32)
+    d = mibf.data
     pad = -mibf.d_size % per
     if pad:
-        d = jnp.concatenate([d, jnp.zeros(pad, jnp.uint32)])
-    w = d[0::per]
-    for j in range(1, per):
-        w = w | (d[j::per] << jnp.uint32(bits * j))
-    return w
+        d = jnp.concatenate([d, jnp.zeros(pad, d.dtype)])
+    return jax.lax.bitcast_convert_type(d.reshape(-1, per), jnp.uint32)
 
 
 def rank_data_of_positions_kernel(mibf: MIBloomFilter, pos_flat: jax.Array):
@@ -306,7 +304,7 @@ def at_rank_data(mibf: MIBloomFilter, hashes: U64,
     if use_kernel is None:
         use_kernel = (_kernel_eligible(mibf)
                       and mibf.d_size * 8 * mibf.data_width < (1 << 32)
-                      and pos.size >= (1 << 21))
+                      and pos.size >= (1 << 18))
     if not use_kernel:
         return fallback()
     rank_k, hit_k, raw_k, over = rank_data_of_positions_kernel(
@@ -327,10 +325,9 @@ def rank_of_positions_auto(mibf: MIBloomFilter, pos: jax.Array,
     lookups (insertMIBF/setSatIfMissing, MIBFConstructSupport.hpp:121,
     :179)."""
     if use_kernel is None:
-        # below ~2M positions the kernel's fixed costs (sort + window DMA
-        # walk) only reach parity with the XLA gather (bench/mibf_probe.py:
-        # 1.74x at 4M positions, ~0.95x at 1M)
-        use_kernel = _kernel_eligible(mibf) and pos.size >= (1 << 21)
+        # kernel wins well below 1M positions (see at_rank_data note;
+        # re-measured r5 after the bitcast data packing)
+        use_kernel = _kernel_eligible(mibf) and pos.size >= (1 << 18)
     if not use_kernel:
         return rank_of_positions(mibf, pos)
     rank_k, hit_k, over = rank_of_positions_kernel(mibf, pos.reshape(-1))

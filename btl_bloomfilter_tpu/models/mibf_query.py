@@ -8,10 +8,15 @@ TPU-native split:
   * the heavy per-frame work (bit tests, rank gathers, ID gathers) is
     batched over all frames of a read at once;
   * the order-dependent bookkeeping (seen-set dedupe, candidate promotion,
-    early exit — MIBFQuerySupport.hpp:430-518) runs as a ``lax.scan`` over
-    frames, with the per-ID count table as carry — semantics identical to
-    the sequential loop, including stopping (frames after the early exit
-    contribute nothing);
+    early exit — MIBFQuerySupport.hpp:430-518) has TWO implementations:
+    ``query_scan`` — a transparent ``lax.scan`` over frames with the
+    dense per-ID count table as carry (the oracle; 384 ms/batch and
+    linear in num_ids at the bench geometry) — and the dispatch-path
+    ``query_frames_batch``, an exact two-pass decomposition (per-slot
+    running counts from one in-read sort + segmented prefix scans; only
+    the O(R)-scalar best/early-exit state stays sequential; ~31 ms and
+    flat in num_ids). Bit-equality between them is asserted on
+    adversarial tables in tests/test_mibf_query.py;
   * the final candidate ranking (summarizeCandiates,
     MIBFQuerySupport.hpp:555-596) runs host-side on the tiny count table.
 
